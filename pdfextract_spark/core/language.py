@@ -1,0 +1,124 @@
+"""Text statistics and normalization (reference: lib/pdf/extract/language.rb).
+
+Pure-Python/numpy kernels used both by the per-turn pipeline and by the
+golden-fixture oracle.  The Spark DataFrame equivalents (expressed as
+column expressions so Catalyst can codegen them) live in
+``pdfextract_spark.operators.text``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .names import name_frequency
+
+# --- F1: transliterate (language.rb:5-38) --------------------------------
+# Ligature expansion + punctuation normalization, then whitespace collapse.
+_TRANSLIT = {
+    "ﬀ": "ff",
+    "ﬁ": "fi",
+    "ﬂ": "fl",
+    "ﬃ": "ffi",
+    "ﬄ": "ffl",
+    "ﬅ": "ft",
+    "ﬆ": "st",
+    "ᵫ": "ue",
+    "‘": "'",
+    "’": "'",
+    "–": "-",
+    "—": "-",
+    "“": '"',
+    "”": '"',
+    "▯": "(",
+    "´": "",
+    "±": "-",
+}
+_TRANSLIT_RE = re.compile("|".join(map(re.escape, _TRANSLIT)))
+_WS_RE = re.compile(r"\s+")
+
+
+def transliterate(s: str) -> str:
+    """language.rb:5-38 — char map then ``gsub /\\s+/, " "`` (no strip)."""
+    s = _TRANSLIT_RE.sub(lambda m: _TRANSLIT[m.group(0)], s)
+    return _WS_RE.sub(" ", s)
+
+
+# --- F2: letter_ratio (language.rb:40-42) --------------------------------
+# Ruby: s.count("A-Z0-9\-[],.\"'()") / s.length — the count set is the
+# A-Z and 0-9 ranges plus the literal chars - [ ] , . " ' ( ).
+_LETTER_SET_RE = re.compile(r"[A-Z0-9\-\[\],.\"'()]")
+
+
+def letter_ratio(s: str) -> float:
+    if len(s) == 0:
+        return float("nan")
+    return len(_LETTER_SET_RE.findall(s)) / float(len(s))
+
+
+# --- F3: cap_ratio (language.rb:45-61) -----------------------------------
+def cap_ratio(s: str) -> float:
+    """State-machine scan: capitals not at sentence start / word count.
+
+    '.' sets sentence_end; [A-Z] counts unless sentence_end (and clears
+    it); any other non-space clears it; whitespace leaves state alone.
+    Division by ``s.split.length`` — 0 words -> NaN (Ruby 0/0.0).
+    """
+    sentence_end = True
+    cap_count = 0
+    for c in s:
+        if c == ".":
+            sentence_end = True
+        elif "A" <= c <= "Z":
+            if not sentence_end:
+                cap_count += 1
+            sentence_end = False
+        elif not c.isspace():
+            sentence_end = False
+    words = len(s.split())
+    if words == 0:
+        return float("nan")
+    return cap_count / float(words)
+
+
+# --- F4: year_ratio (language.rb:63-71) ----------------------------------
+# A word counts when it matches /[^\d]\d{4}[^\d]/ — i.e. a 4-digit run
+# with a non-digit on BOTH sides inside the word ("(1999)" yes, "1999" no).
+_YEAR_RE = re.compile(r"[^\d]\d{4}[^\d]")
+
+
+def year_ratio(s: str) -> float:
+    words = s.split()
+    if not words:
+        return float("nan")
+    return sum(1 for w in words if _YEAR_RE.search(w)) / float(len(words))
+
+
+# --- F5: word_count (language.rb:77-79) ----------------------------------
+def word_count(s: str) -> int:
+    return len(s.split())
+
+
+# --- F6: name_ratio (language.rb:73-75 -> names.rb:21-49) ----------------
+def name_ratio(s: str) -> float:
+    return name_frequency(s)
+
+
+# --- F7: hyphenation-aware line concat (spatial.rb:98-112) ---------------
+def join_lines(lines: list[str]) -> str:
+    """``get_text_content`` over a :lines array — a line ending in '-'
+    contributes its content minus the hyphen with no trailing space;
+    other lines contribute content + ' '; final strip.
+    (spatial.rb:98-112; the pairwise form at spatial.rb:13-19.)
+    """
+    parts = []
+    for content in lines:
+        if content.endswith("-"):
+            parts.append(content[:-1])
+        else:
+            parts.append(content + " ")
+    return "".join(parts).strip()
+
+
+# --- F8: whitespace collapse on merge (spatial.rb:61) --------------------
+def collapse_ws(s: str) -> str:
+    return _WS_RE.sub(" ", s)

@@ -1,0 +1,256 @@
+"""Virtual typesetter (SURVEY.md S1-S4).
+
+Replaces the reference's PDF content-stream scan + glyph-matrix layout
+(lib/pdf/extract/model/characters.rb:62-126, font_metrics.rb:28-71) with
+a deterministic transcript-text -> positioned-glyph layout so the layout
+analysis pipeline (chunks -> regions -> margins -> zones -> columns ->
+sections -> titles -> references) stays meaningful over plain text.
+
+Text protocol (how a turn's ``text`` payload maps to geometry):
+- paragraphs split on blank lines (``\\n\\n+``)
+- a single ``\\n`` is a *hard line break*: the following line gets an
+  extra ``hard_break_extra`` of vertical gap and keeps its leading
+  spaces as an indent (hanging-indent reference styles)
+- words wrap greedily at ``usable_width``; a word longer than the
+  remaining space that also exceeds a full line is hyphen-split with a
+  trailing '-' (exercising the hyphen-join rule spatial.rb:13-19)
+- the first paragraph is typeset in the title font when it is short,
+  single-line, and more text follows (exercising titles.rb:22-53)
+- every page carries a small centered footer ("p. N") below the body
+  (exercising margins.rb:46-80 / zones.rb:55-113 on every turn)
+
+All geometry is float64 with exact-dyadic constants where possible so
+results are bit-stable across platforms.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from ..settings import Settings, Typesetter
+
+_PARA_RE = re.compile(r"\n{2,}")
+
+
+@dataclass
+class Line:
+    """One typeset line == one text chunk on the fast path.
+
+    Field names mirror the reference's conventional spatial attribute
+    set (spatial.rb:11, characters.rb:102-113).
+    """
+
+    x: float
+    y: float  # bottom (baseline-box bottom), PDF-style origin
+    width: float
+    height: float
+    line_height: float
+    content: str
+    font: str
+    page: int
+    page_width: float
+    page_height: float
+
+    # per-word x offsets within the line (for char-level parity mode)
+    def __post_init__(self) -> None:
+        pass
+
+
+@dataclass
+class Char:
+    x: float
+    y: float
+    width: float
+    height: float
+    line_height: float
+    content: str
+    font: str
+    page: int
+    page_width: float
+    page_height: float
+
+
+def _wrap_paragraph(
+    para: str, chars_per_line: int
+) -> list[tuple[str, int, float]]:
+    """-> list of (line_text, indent_chars, extra_gap_flag) entries.
+
+    Splits the paragraph at hard breaks, preserving leading-space
+    indents, then greedily wraps each logical line.  Returns
+    (content, indent_chars, extra_gap) where extra_gap is 1.0 for lines
+    that start after an explicit hard break (other than the first).
+    """
+    out: list[tuple[str, int, float]] = []
+    for i, logical in enumerate(para.split("\n")):
+        stripped = logical.lstrip(" ")
+        indent = len(logical) - len(stripped)
+        indent = min(indent, max(chars_per_line - 2, 0))
+        words = stripped.split()
+        hard = 1.0 if i > 0 else 0.0
+        if not words:
+            continue
+        avail = chars_per_line - indent
+        cur: list[str] = []
+        cur_len = 0
+        first_of_logical = True
+
+        def flush() -> None:
+            nonlocal cur, cur_len, first_of_logical, hard
+            if cur:
+                out.append((" ".join(cur), indent, hard if first_of_logical else 0.0))
+                first_of_logical = False
+                cur = []
+                cur_len = 0
+
+        for w in words:
+            need = len(w) if not cur else cur_len + 1 + len(w)
+            if need <= avail:
+                cur.append(w)
+                cur_len = need
+                continue
+            # w does not fit on the current line
+            if len(w) <= avail:
+                flush()
+                cur = [w]
+                cur_len = len(w)
+                continue
+            # word longer than a full line: hyphen-split it
+            rest = w
+            while len(rest) > avail:
+                space_left = avail - cur_len - (1 if cur else 0)
+                if space_left >= 2:
+                    head = rest[: space_left - 1] + "-"
+                    cur.append(head)
+                    cur_len = avail
+                    rest = rest[space_left - 1 :]
+                flush()
+            cur = [rest] if rest else []
+            cur_len = len(rest)
+        flush()
+    return out
+
+
+def _is_title_para(paras: list[str], ts: Typesetter) -> bool:
+    if len(paras) < 2:
+        return False
+    first = paras[0]
+    if "\n" in first:
+        return False
+    n = len(first.strip())
+    title_chars = int(ts.usable_width // ts.char_width(ts.title_size))
+    return 2 <= n <= min(ts.title_max_chars, title_chars)
+
+
+def typeset_lines(text: str, settings: Settings | None = None) -> list[Line]:
+    """Typeset one turn's text into positioned lines across pages."""
+    st = settings or Settings()
+    ts = st.typesetter
+    text = text or ""
+    paras = [p for p in _PARA_RE.split(text) if p.strip()]
+    if not paras:
+        return []
+
+    title_first = _is_title_para(paras, ts)
+    body_cw = ts.char_width(ts.body_size)
+    body_chars = int(ts.usable_width // body_cw)
+    title_cw = ts.char_width(ts.title_size)
+    title_chars = int(ts.usable_width // title_cw)
+
+    lines: list[Line] = []
+    page = 1
+    # cursor = y of the TOP of the next line's box
+    cursor = ts.page_height - ts.margin
+    bottom_limit = ts.margin
+
+    def place(content: str, indent: int, size: float, cw: float,
+              font: str, leading: float) -> None:
+        nonlocal cursor, page
+        if cursor - size < bottom_limit:
+            page += 1
+            cursor = ts.page_height - ts.margin
+        w = len(content) * cw
+        lines.append(
+            Line(
+                x=ts.margin + indent * cw,
+                y=cursor - size,
+                width=w,
+                height=size,
+                line_height=size,
+                content=content,
+                font=font,
+                page=page,
+                page_width=ts.page_width,
+                page_height=ts.page_height,
+            )
+        )
+        cursor -= leading
+
+    for pi, para in enumerate(paras):
+        if pi > 0:
+            cursor -= ts.paragraph_extra
+        if pi == 0 and title_first:
+            size, cw, font, leading, cpl = (
+                ts.title_size, title_cw, ts.title_font, ts.title_leading,
+                title_chars,
+            )
+        else:
+            size, cw, font, leading, cpl = (
+                ts.body_size, body_cw, ts.body_font, ts.body_leading,
+                body_chars,
+            )
+        for content, indent, hard in _wrap_paragraph(para, cpl):
+            if hard:
+                cursor -= ts.hard_break_extra
+            place(content, indent, size, cw, font, leading)
+
+    # per-page footer (below the body margin)
+    n_pages = lines[-1].page if lines else 0
+    f_cw = ts.char_width(ts.footer_size)
+    for p in range(1, n_pages + 1):
+        content = f"p. {p}"
+        w = len(content) * f_cw
+        lines.append(
+            Line(
+                x=(ts.page_width - w) / 2.0,
+                y=ts.footer_y,
+                width=w,
+                height=ts.footer_size,
+                line_height=ts.footer_size,
+                content=content,
+                font=ts.footer_font,
+                page=p,
+                page_width=ts.page_width,
+                page_height=ts.page_height,
+            )
+        )
+    return lines
+
+
+def typeset_chars(text: str, settings: Settings | None = None) -> list[Char]:
+    """Char-level emission (parity mode; SURVEY.md S2).
+
+    One row per glyph, words separated by a one-glyph-width gap (no
+    space glyphs are emitted — the chunks kernel re-joins words with
+    ' ' exactly as the reference's word_slop merge does,
+    chunks.rb:66-70).  Used by tests to prove the line fast path equals
+    the char-level pipeline; production uses typeset_lines.
+    """
+    st = settings or Settings()
+    out: list[Char] = []
+    for ln in typeset_lines(text, st):
+        cw = ln.width / len(ln.content) if ln.content else 0.0
+        x = ln.x
+        for ch in ln.content:
+            if ch != " ":
+                out.append(
+                    Char(
+                        x=x, y=ln.y, width=cw, height=ln.height,
+                        line_height=ln.line_height, content=ch,
+                        font=ln.font, page=ln.page,
+                        page_width=ln.page_width,
+                        page_height=ln.page_height,
+                    )
+                )
+            x += cw
+    return out
