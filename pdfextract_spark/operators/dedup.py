@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's own inventory (per the build brief): exact,
+MinHash+LSH, SimHash, and n-gram Jaccard dedup over a document table.
+Everything is Catalyst expressions (md5-derived hashing so a SQL
+oracle can reproduce values bit-for-bit); the LSH band join is an
+equi-join on (band, band_hash) — shuffle scales with candidate pairs,
+not n^2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_int(col: Column) -> Column:
+    """First 12 hex digits of md5 as a bigint — stable across Spark and
+    DuckDB (both expose md5 as lowercase hex), unlike xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text for hashing: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct normalized
+    text, keeping the minimum id (deterministic canonical winner) and
+    the duplicate count.  Single shuffle on the text hash."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined) from normalized text.
+
+    transform over a 0..n-k index sequence keeps it JVM-side."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array()).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i + 1, k)
+            ),
+        )
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as array<bigint>: for seed s, min over
+    shingles of md5_int(shingle || '#' || s).  Deterministic and
+    SQL-reproducible (md5-based)."""
+    sh = word_shingles(col, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda x: _md5_int(F.concat(x, F.lit(f"#{s}"))),
+                )
+            ).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH banding: one row per (doc, band) with the band hash.
+    Candidate pairs = equi-join on (band, band_hash)."""
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    n_bands = num_hashes // band_size
+    out = df.select(F.col(id_col), sig.alias("sig"))
+    bands = out.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * band_size + i + 1).cast(
+                                        "string"
+                                    )
+                                    for i in range(band_size)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+    return bands
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Near-dup candidate pairs from MinHash LSH bands (distinct
+    (a, b) with a < b sharing at least one band bucket)."""
+    bands = minhash_bands(df, text_col, id_col, **kw)
+    l = bands.alias("l")
+    r = bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-shingle Jaccard for candidate pairs (verify stage after
+    LSH).  Joins are broadcast-eligible when the candidate set is
+    small; array_intersect/array_union stay JVM-side."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh")
+    )
+    a = sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b")
+    joined = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "a",
+        "b",
+        F.when(union == 0, F.lit(0.0)).otherwise(inter / union).alias("jaccard"),
+    )
+
+
+def simhash64(col: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens: bit j of the fingerprint is the
+    sign of sum over tokens of (+1 if md5-bit j else -1).
+
+    ``bits`` defaults to 16 to bound expression size; each bit is an
+    aggregate over the token array — still pure Catalyst."""
+    tokens = F.split(normalize_text(col), " ")
+    hashes = F.transform(tokens, _md5_int)
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        bit_sum = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        out = out + F.when(bit_sum > 0, F.lit(2**j).cast("bigint")).otherwise(0)
+    return out

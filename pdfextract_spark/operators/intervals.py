@@ -1,0 +1,62 @@
+"""Interval-union aggregation (SURVEY.md A4, MultiRange).
+
+multi_range.rb:11-76 accumulates closed intervals with union-on-append
+and exposes count/min/max/covered/widest/avg.  At scale this is the
+lag/cumsum gaps-and-islands pattern over interval rows: sort by lo,
+flag rows whose lo exceeds the running max hi, cumsum -> island id,
+then aggregate per island.  One shuffle on the partition keys; all
+expressions codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_intervals(
+    df: DataFrame,
+    part_cols: list[str],
+    lo: str,
+    hi: str,
+) -> DataFrame:
+    """-> one row per merged (union) interval with ``lo``/``hi``."""
+    w = Window.partitionBy(*part_cols).orderBy(F.col(lo), F.col(hi))
+    running_max = F.max(F.col(hi)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new",
+        F.when(
+            running_max.isNull() | (F.col(lo) > running_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(*part_cols, "_island")
+        .agg(F.min(lo).alias(lo), F.max(hi).alias(hi))
+        .drop("_island")
+    )
+
+
+def interval_stats(
+    df: DataFrame,
+    part_cols: list[str],
+    lo: str = "lo",
+    hi: str = "hi",
+) -> DataFrame:
+    """MultiRange's aggregate views per partition key: count, min, max,
+    covered, widest, narrowest, avg (multi_range.rb:48-76)."""
+    merged = merge_intervals(df, part_cols, lo, hi)
+    width = F.col(hi) - F.col(lo)
+    return merged.groupBy(*part_cols).agg(
+        F.count("*").alias("n_intervals"),
+        F.min(lo).alias("mask_min"),
+        F.max(hi).alias("mask_max"),
+        F.sum(width).alias("covered"),
+        F.max(width).alias("widest"),
+        F.min(width).alias("narrowest"),
+        F.avg(width).alias("avg_width"),
+    )
