@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship extraction over sf0.001 — transcripts
+  synthesized deterministically from the documents table, then the
+  full per-turn pipeline (single shuffle-free mapInPandas), returning
+  one row per extracted reference.
+- ``queries()``: one entry per implemented operator from SURVEY.md §2
+  plus the training-data operators (dedup/similarity/text analysis).
+- ``oracle_sql()``: DuckDB-executable ANSI SQL equivalents for the
+  SQL-expressible subset (value-exact: md5-based hashes, integer
+  aggregates, 6-dp rounding of divisions on both sides).
 """
 
 from __future__ import annotations
@@ -16,23 +20,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pdfextract_spark.plans.driver_queries import QUERIES
+
+    return QUERIES["pipeline_references"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from pdfextract_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles for every SQL-expressible query (UDF-bound
+    pipeline_* entries are rows-only by design)."""
+    from pdfextract_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

@@ -60,16 +60,22 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """MinHash signature as array<bigint>: for seed s, min over
-    shingles of md5_int(shingle || '#' || s).  Deterministic and
-    SQL-reproducible (md5-based)."""
+    """MinHash signature as array<string>: for seed s, min over
+    shingles of the first 12 hex chars of md5(shingle || '#' || s).
+
+    Fixed-width lowercase hex compares lexicographically == numerically,
+    so the min is the numeric MinHash while staying a string — which
+    makes the value bit-reproducible in any engine with md5 (the DuckDB
+    oracle reproduces it verbatim)."""
     sh = word_shingles(col, k)
     return F.array(
         *[
             F.array_min(
                 F.transform(
                     sh,
-                    lambda x: _md5_int(F.concat(x, F.lit(f"#{s}"))),
+                    lambda x: F.substring(
+                        F.md5(F.concat(x, F.lit(f"#{s}"))), 1, 12
+                    ),
                 )
             ).alias(f"mh{s}")
             for s in range(num_hashes)
@@ -101,9 +107,7 @@ def minhash_bands(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at("sig", b * band_size + i + 1).cast(
-                                        "string"
-                                    )
+                                    F.element_at("sig", b * band_size + i + 1)
                                     for i in range(band_size)
                                 ],
                             )
@@ -167,21 +171,28 @@ def jaccard_pairs(
     )
 
 
-def simhash64(col: Column, bits: int = 16) -> Column:
+def simhash(col: Column, bits: int = 16) -> Column:
     """SimHash over whitespace tokens: bit j of the fingerprint is the
-    sign of sum over tokens of (+1 if md5-bit j else -1).
+    sign of sum over tokens of (+1 / -1).
 
-    ``bits`` defaults to 16 to bound expression size; each bit is an
-    aggregate over the token array — still pure Catalyst."""
+    Token bit j is defined as the high bit of md5 hex nibble j
+    (nibble >= '8'), which any md5-equipped engine reproduces — the
+    DuckDB oracle states the identical expression.  ``bits`` defaults
+    to 16 to bound codegen'd expression size; each bit is an integer
+    aggregate over the token array, order-independent and exact."""
     tokens = F.split(normalize_text(col), " ")
-    hashes = F.transform(tokens, _md5_int)
     out = F.lit(0).cast("bigint")
     for j in range(bits):
         bit_sum = F.aggregate(
-            hashes,
+            tokens,
             F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda acc, t: acc
+            + F.when(
+                F.substring(F.md5(t), j + 1, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                1,
+            ).otherwise(-1),
         )
         out = out + F.when(bit_sum > 0, F.lit(2**j).cast("bigint")).otherwise(0)
     return out

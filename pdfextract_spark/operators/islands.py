@@ -16,14 +16,16 @@ from pyspark.sql import functions as F
 def islands(
     df: DataFrame,
     part_cols: list[str],
-    order_col: str,
+    order_col: str | list[str],
     new_island: Column,
     island_col: str = "island",
 ) -> DataFrame:
     """Assign an island id per partition: ``new_island`` is a boolean
     column (may reference ``lag`` columns) marking rows that START a
-    new island.  One shuffle on ``part_cols``."""
-    w = Window.partitionBy(*part_cols).orderBy(order_col)
+    new island.  One shuffle on ``part_cols``.  ``order_col`` should be
+    a total order (pass a list with a tie-break key)."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols)
     flag = F.when(new_island, F.lit(1)).otherwise(F.lit(0))
     return df.withColumn(
         island_col,
@@ -55,7 +57,7 @@ def sessionize(
 def partition_at(
     df: DataFrame,
     part_cols: list[str],
-    order_col: str,
+    order_col: str | list[str],
     delimiter: Column,
     drop_leading: bool = False,
 ) -> DataFrame:

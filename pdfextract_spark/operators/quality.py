@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines: language-ID,
+quality scoring, token counting, document fingerprinting (per the
+build brief; complements SURVEY.md §2.7).
+
+All pure Catalyst expressions: lowercase/split/regexp/aggregate — no
+Python in the hot path, and each has an exact DuckDB-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..core.names import STOPWORDS
+from .dedup import _md5_int, normalize_text
+
+# A compact high-frequency English function-word set for language ID
+# (subset of the reference's stopword list, data/stopwords.txt).
+LANG_EN_MARKERS = [
+    "the", "and", "of", "to", "in", "is", "that", "for", "with", "as",
+    "was", "on", "are", "by", "this", "be", "or", "an", "a", "it",
+]
+
+# BPE-ish tokenizer: letter runs, digit runs, or single non-space
+# symbols (approximates byte-pair pre-tokenization granularity).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), 0))
+
+
+def word_tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    words = word_tokens(col)
+    sw = F.array(*[F.lit(w) for w in (stopwords or LANG_EN_MARKERS)])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(words)
+    )
+
+
+def lang_id_en(col: Column, threshold: float = 0.08) -> Column:
+    """n-gram-free heuristic language ID: 'en' when the function-word
+    hit ratio clears the threshold, else 'other'."""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    p = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        p.cast("double") / F.length(col)
+    )
+
+
+def mean_word_len(col: Column) -> Column:
+    words = word_tokens(col)
+    total = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(words)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document quality in [0,1]: length band + stopword
+    presence + punctuation sanity + word-length sanity.  Heuristic
+    weights fixed and documented; deterministic."""
+    n = F.length(col)
+    len_ok = F.when((n >= 200) & (n <= 20000), 1.0).when(
+        (n >= 50) & (n < 200), 0.5
+    ).otherwise(0.0)
+    sw = stopword_ratio(col)
+    sw_ok = F.when(sw >= 0.08, 1.0).when(sw >= 0.03, 0.5).otherwise(0.0)
+    pr = punct_ratio(col)
+    punct_ok = F.when(pr <= 0.1, 1.0).when(pr <= 0.25, 0.5).otherwise(0.0)
+    mwl = mean_word_len(col)
+    mwl_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.0)
+    return (
+        len_ok * 0.3 + sw_ok * 0.3 + punct_ok * 0.2 + mwl_ok * 0.2
+    ).alias("quality")
+
+
+def char_shingle_fingerprint(col: Column, k: int = 8) -> Column:
+    """Document fingerprint: min md5-int over k-char shingles of the
+    normalized text (winnowing-style rolling-hash min).  Stable and
+    SQL-reproducible."""
+    t = normalize_text(col)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.substring(t, i, k))
+    return F.array_min(F.transform(shingles, _md5_int))
+
+
+def reference_stopwords() -> list[str]:
+    """The verbatim stopword list from the reference's data file."""
+    return list(STOPWORDS)

@@ -1,0 +1,1014 @@
+"""Driver-contract query registry (SURVEY.md §5.3, FIXTURES.md §5).
+
+One entry per SQL-expressible operator from SURVEY.md §2, phrased over
+the driver's TPC-H-ish tables, PLUS the training-data-pipeline
+operators (dedup / similarity / text analysis) — each paired with an
+ANSI-SQL oracle that DuckDB executes on the same parquet (the driver's
+correctness gate compares row count + schema + order-insensitive value
+hash).
+
+Conventions that make cross-engine equality exact:
+- every computed column is aliased identically on both sides
+- doubles produced by division are rounded to 6 dp on both sides
+- cross-row numeric aggregation is integer-valued wherever possible
+  (dates -> day diffs, timestamps -> epoch millis); double sums are
+  rounded after aggregation
+- hashes are md5-hex based (identical in Spark and DuckDB) — never
+  engine-private hashes like xxhash64
+- the Spark session must run with spark.sql.session.timeZone=UTC so
+  naive parquet timestamps agree with DuckDB's epoch functions
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, histogram, intervals, islands
+from ..operators import quality as Q
+from ..operators import ranking, scoring, similarity
+from ..operators import text as T
+from ..sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+def _ms(spark: SparkSession, col: str):
+    """Epoch millis from a (possibly NTZ) timestamp column.  The
+    parquet timestamps are naive; pinning the session timezone to UTC
+    before the NTZ->LTZ cast makes the value the naive-as-UTC epoch on
+    any host, matching DuckDB's epoch_ms."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return F.unix_millis(F.col(col).cast("timestamp"))
+
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Projections / filters (SURVEY.md P*)
+# =====================================================================
+
+@q(
+    "p1_empty_filter",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE trim(text) <> '' AND n_chars >= 200
+    """,
+)
+def p1_empty_filter(spark, sf_dir):
+    """P1 (chunks.rb:111): drop blank content; pushdown-friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        (F.trim("text") != "") & (F.col("n_chars") >= 200)
+    ).select("doc_id", "n_chars")
+
+
+@q(
+    "p3_w4_title_top1",
+    """
+    WITH t AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_totalprice DESC, o_orderkey ASC
+             ) AS rk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice FROM t WHERE rk = 1
+    """,
+)
+def p3_w4_title_top1(spark, sf_dir):
+    """P3+W4 (titles.rb:29-53): deterministic top-1 per group via an
+    explicit total order (earliest date, then price desc, then key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    top = ranking.top_k(
+        orders,
+        ["o_custkey"],
+        [
+            F.col("o_orderdate").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        ],
+        k=1,
+    )
+    return top.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@q(
+    "p7_p8_flex_threshold",
+    """
+    WITH m AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+             max(l_extendedprice) OVER (PARTITION BY l_orderkey) AS mx
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM m
+    WHERE l_quantity >= 25 AND l_extendedprice >= mx * 0.8
+    """,
+)
+def p7_p8_flex_threshold(spark, sf_dir):
+    """P7+P8 (references.rb:196-209): the group max is computed over
+    ALL rows BEFORE the eligibility filter (the reference takes
+    max_score at references.rb:196, then rejects at :201) — the window
+    max must therefore precede the quantity filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.withColumn("_mx", F.max("l_extendedprice").over(w))
+        .where(
+            (F.col("l_quantity") >= 25)
+            & (F.col("l_extendedprice") >= F.col("_mx") * 0.8)
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@q(
+    "p9_regex_reject",
+    """
+    SELECT lang, count(*) AS n FROM documents
+    WHERE NOT regexp_matches(lower(text),
+      'references?|submitted for publication|additional contributions')
+    GROUP BY lang
+    """,
+)
+def p9_regex_reject(spark, sf_dir):
+    """P9 (references.rb:225-229): substring regex reject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(
+            ~F.lower("text").rlike(
+                "references?|submitted for publication|additional contributions"
+            )
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "p10_j2_containment_join",
+    """
+    SELECT o.o_orderpriority, count(*) AS n
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+      AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def p10_j2_containment_join(spark, sf_dir):
+    """P10/J2 (spatial.rb:135-147, sections.rb:96-103): containment as
+    an equi-join on the key plus range predicates; Catalyst plans the
+    equi-join (broadcast/AQE) and evaluates the ranges as filters."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    joined = o.join(l, l.l_orderkey == o.o_orderkey).where(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+# =====================================================================
+# Joins / scanlines (SURVEY.md J3)
+# =====================================================================
+
+@q(
+    "j3_scanline_incidence",
+    """
+    WITH s AS (
+      SELECT unnest(generate_series(1, 8)) AS sample_idx
+    ),
+    d AS (
+      SELECT sample_idx,
+             TIMESTAMP '1995-03-01' + INTERVAL 300 DAY * sample_idx AS sample_ts
+      FROM s
+    )
+    SELECT d.sample_idx,
+           count(*) AS n
+    FROM d JOIN lineitem l
+      ON l.l_shipdate <= d.sample_ts
+     AND l.l_shipdate + INTERVAL 30 DAY >= d.sample_ts
+    GROUP BY d.sample_idx
+    """,
+)
+def j3_scanline_incidence(spark, sf_dir):
+    """J3 (columns.rb:16-26,52-58): 8 sample scanlines joined against
+    interval-carrying rows; per line, count incident intervals.  The
+    scanline side is 8 rows -> broadcast; no shuffle of the big side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    samples = spark.range(1, 9).select(
+        F.col("id").cast("int").alias("sample_idx"),
+        (
+            F.lit("1995-03-01").cast("timestamp_ntz")
+            + F.expr("make_interval(0, 0, 0, 300, 0, 0, 0) * id")
+        ).alias("sample_ts"),
+    )
+    joined = F.broadcast(samples).crossJoin(li).where(
+        (F.col("l_shipdate") <= F.col("sample_ts"))
+        & (
+            F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS")
+            >= F.col("sample_ts")
+        )
+    )
+    return joined.groupBy("sample_idx").agg(F.count("*").alias("n"))
+
+
+# =====================================================================
+# Aggregations (SURVEY.md A*)
+# =====================================================================
+
+@q(
+    "a2_islands_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 600000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+      SELECT user_id, event_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ),
+    per AS (
+      SELECT user_id, session_id, count(*) AS n
+      FROM i GROUP BY user_id, session_id
+    )
+    SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_len
+    FROM per GROUP BY user_id
+    """,
+)
+def a2_islands_sessionize(spark, sf_dir):
+    """A2 (chunks.rb:54-82) as gaps-and-islands sessionization: lag ->
+    gap flag -> cumsum islands; one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = _ms(spark, "ts")
+    prev = F.lag(ms).over(w)
+    new_s = prev.isNull() | (ms - prev > 600000)
+    sess = islands.islands(ev, ["user_id"], ["ts", "event_id"], new_s, "session_id")
+    per = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n"))
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n").alias("max_session_len"),
+    )
+
+
+@q(
+    "a4_interval_union_stats",
+    """
+    WITH iv AS (
+      SELECT l_suppkey,
+             l_shipdate AS lo,
+             l_shipdate + INTERVAL 5 DAY * l_linenumber AS hi
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_suppkey, lo, hi,
+             CASE WHEN max(hi) OVER (PARTITION BY l_suppkey ORDER BY lo, hi
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    OR lo > max(hi) OVER (PARTITION BY l_suppkey ORDER BY lo, hi
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_i
+      FROM iv
+    ),
+    isl AS (
+      SELECT l_suppkey, lo, hi,
+             sum(new_i) OVER (PARTITION BY l_suppkey ORDER BY lo, hi
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM g
+    ),
+    merged AS (
+      SELECT l_suppkey, island, min(lo) AS lo, max(hi) AS hi
+      FROM isl GROUP BY l_suppkey, island
+    )
+    SELECT l_suppkey,
+           count(*) AS n_intervals,
+           strftime(min(lo), '%Y-%m-%d') AS mask_min,
+           strftime(max(hi), '%Y-%m-%d') AS mask_max,
+           sum(date_diff('day', lo, hi)) AS covered_days,
+           max(date_diff('day', lo, hi)) AS widest_days
+    FROM merged GROUP BY l_suppkey
+    """,
+)
+def a4_interval_union_stats(spark, sf_dir):
+    """A4 (multi_range.rb): interval union via lag/cumsum islands, then
+    the MultiRange aggregate views (count/min/max/covered/widest) —
+    integer day arithmetic so cross-engine equality is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        "l_suppkey",
+        F.col("l_shipdate").alias("lo"),
+        (
+            F.col("l_shipdate")
+            + F.expr("make_interval(0, 0, 0, 5, 0, 0, 0) * l_linenumber")
+        ).alias("hi"),
+    )
+    merged = intervals.merge_intervals(iv, ["l_suppkey"], "lo", "hi")
+    dd = F.datediff(F.col("hi"), F.col("lo")).cast("bigint")
+    return merged.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_intervals"),
+        F.date_format(F.min("lo"), "yyyy-MM-dd").alias("mask_min"),
+        F.date_format(F.max("hi"), "yyyy-MM-dd").alias("mask_max"),
+        F.sum(dd).alias("covered_days"),
+        F.max(dd).alias("widest_days"),
+    )
+
+
+@q(
+    "a6_margins_minmax",
+    """
+    SELECT user_id,
+           min(epoch_ms(ts)) AS ts_min,
+           max(epoch_ms(ts)) AS ts_max,
+           round(min(value), 6) AS v_min,
+           round(max(value), 6) AS v_max
+    FROM events GROUP BY user_id
+    """,
+)
+def a6_margins_minmax(spark, sf_dir):
+    """A6 (margins.rb:46-80): margin rects reduce to axis extent
+    min/max per group — a single partial-aggregated shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = _ms(spark, "ts")
+    return ev.groupBy("user_id").agg(
+        F.min(ms).alias("ts_min"),
+        F.max(ms).alias("ts_max"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+    )
+
+
+@q(
+    "a9_ideal_scoring",
+    """
+    WITH d AS (
+      SELECT p_partkey, p_brand,
+             abs(p_size - 25.0) AS d_size,
+             abs(p_retailprice - 1200.0) AS d_price
+      FROM part
+    ),
+    m AS (
+      SELECT p_partkey, p_brand, d_size, d_price,
+             max(d_size) OVER (PARTITION BY p_brand) AS mx_size,
+             max(d_price) OVER (PARTITION BY p_brand) AS mx_price
+      FROM d
+    )
+    SELECT p_partkey, p_brand,
+           round(
+             (CASE WHEN d_size = 0 THEN 6.0
+                   ELSE (1 - d_size / mx_size) * 6.0 END) +
+             (CASE WHEN d_price = 0 THEN 10.0
+                   ELSE (1 - d_price / mx_price) * 10.0 END), 6) AS score
+    FROM m
+    """,
+)
+def a9_ideal_scoring(spark, sf_dir):
+    """A9 (spatial.rb:156-175): ideal-vector scoring with group-max
+    normalization and the exact-zero full-weight rule, as pure window
+    arithmetic."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("double").alias("size_d"),
+        F.col("p_retailprice").alias("price_d"),
+    )
+    scored = scoring.ideal_score(
+        part,
+        ["p_brand"],
+        {"size_d": (25.0, 6.0), "price_d": (1200.0, 10.0)},
+        "score_raw",
+    )
+    return scored.select(
+        "p_partkey", "p_brand", F.round("score_raw", 6).alias("score")
+    )
+
+
+@q(
+    "a10_second_most_frequent",
+    """
+    WITH f AS (
+      SELECT p_brand, CAST(floor(p_size / 5.0) AS BIGINT) AS value,
+             count(*) AS cnt
+      FROM part GROUP BY p_brand, 2
+    ),
+    r AS (
+      SELECT p_brand, value, cnt,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY cnt DESC, value DESC) AS rk
+      FROM f
+    )
+    SELECT p_brand, value AS delimiter, cnt AS delimiter_count
+    FROM r WHERE rk = 2
+    """,
+)
+def a10_second_most_frequent(spark, sf_dir):
+    """A10 (references.rb:46-64): the 2nd-most-frequent floored value
+    with a deterministic (count desc, value desc) tie order."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", (F.col("p_size") / 5.0).alias("v")
+    )
+    out = histogram.nth_most_frequent(part, ["p_brand"], "v", 2)
+    return out.select("p_brand", "delimiter", F.col("delimiter_count"))
+
+
+@q(
+    "a11_argmax_vote",
+    """
+    WITH f AS (
+      SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+             count(*) AS cnt
+      FROM events GROUP BY event_type, 2
+    ),
+    r AS (
+      SELECT event_type, bucket, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, bucket ASC) AS rk
+      FROM f
+    )
+    SELECT event_type, bucket, cnt AS n FROM r WHERE rk = 1
+    """,
+)
+def a11_argmax_vote(spark, sf_dir):
+    """A11 (references.rb:86-112): most-frequent-key vote with a
+    deterministic tie-break."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") / 10).alias("bucket")
+    )
+    out = histogram.argmax_vote(ev, ["event_type"], "bucket")
+    return out.select("event_type", "bucket", F.col("count").alias("n"))
+
+
+# =====================================================================
+# Windows / ordering (SURVEY.md W*)
+# =====================================================================
+
+@q(
+    "w5_lag_spacing",
+    """
+    SELECT event_id,
+           epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+    FROM events
+    """,
+)
+def w5_lag_spacing(spark, sf_dir):
+    """W5 (regions.rb:35-43): per-row spacing = gap to the previous row
+    in partition order (line spacing analog)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = _ms(spark, "ts")
+    return ev.select(
+        "event_id",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    )
+
+
+@q(
+    "w6_keep_group_max",
+    """
+    WITH f AS (
+      SELECT p_brand, p_size, count(*) AS cnt
+      FROM part GROUP BY p_brand, p_size
+    ),
+    m AS (
+      SELECT p_brand, p_size, cnt, max(cnt) OVER (PARTITION BY p_brand) AS mx
+      FROM f
+    )
+    SELECT p_brand, p_size, cnt FROM m WHERE cnt = mx
+    """,
+)
+def w6_keep_group_max(spark, sf_dir):
+    """W6 (columns.rb:74-79): keep rows at the group max (column-count
+    ranking step)."""
+    part = load_table(spark, sf_dir, "part")
+    f = part.groupBy("p_brand", "p_size").agg(F.count("*").alias("cnt"))
+    return ranking.keep_group_max(f, ["p_brand"], "cnt").select(
+        "p_brand", "p_size", "cnt"
+    )
+
+
+# =====================================================================
+# Set / partition operators (SURVEY.md T*)
+# =====================================================================
+
+@q(
+    "t1_t2_partition_at",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_d
+      FROM events
+    ),
+    i AS (
+      SELECT user_id, event_id,
+             sum(is_d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS segment
+      FROM g
+    )
+    SELECT user_id, segment, count(*) AS n, min(event_id) AS first_event
+    FROM i WHERE segment > 0
+    GROUP BY user_id, segment
+    """,
+)
+def t1_t2_partition_at(spark, sf_dir):
+    """T1+T2 (references.rb:32-44,68): segments start AT delimiter rows
+    ('error' events); rows before the first delimiter dropped."""
+    ev = load_table(spark, sf_dir, "events")
+    seg = islands.partition_at(
+        ev, ["user_id"], ["ts", "event_id"], F.col("event_type") == "error", drop_leading=True
+    )
+    return seg.groupBy("user_id", "segment").agg(
+        F.count("*").alias("n"), F.min("event_id").alias("first_event")
+    )
+
+
+@q(
+    "t3_case_split",
+    """
+    WITH s AS (
+      SELECT user_id, count(DISTINCT event_type) AS k, count(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN k < 2 THEN 'body'
+                WHEN k < 3 THEN 'split2'
+                ELSE 'split3' END AS zone,
+           n
+    FROM s
+    """,
+)
+def t3_case_split(spark, sf_dir):
+    """T3 (zones.rb:55-113): the 1/2/3-way case split as when/otherwise
+    over aggregated group stats."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("k"), F.count("*").alias("n")
+    )
+    return s.select(
+        "user_id",
+        F.when(F.col("k") < 2, "body")
+        .when(F.col("k") < 3, "split2")
+        .otherwise("split3")
+        .alias("zone"),
+        "n",
+    )
+
+
+# =====================================================================
+# String / math scalar functions (SURVEY.md F*)
+# =====================================================================
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+@q(
+    "f1_transliterate",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             replace(replace(replace(replace(replace(replace(replace(replace(
+             replace(replace(replace(replace(replace(replace(replace(replace(
+             replace(text,
+               'ﬀ','ff'),'ﬁ','fi'),'ﬂ','fl'),'ﬃ','ffi'),'ﬄ','ffl'),
+               'ﬅ','ft'),'ﬆ','st'),'ᵫ','ue'),
+               '‘',''''),'’',''''),'–','-'),'—','-'),'“','"'),'”','"'),
+               '▯','('),'±','-'),'´',''),
+             '\\s+', ' ', 'g') AS clean
+    FROM documents
+    """,
+)
+def f1_transliterate(spark, sf_dir):
+    """F1 (language.rb:5-38): ligature/punct normalization +
+    whitespace collapse, as a codegen'd expression chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.transliterate(F.col("text")).alias("clean"))
+
+
+@q(
+    "f2_letter_ratio",
+    """
+    SELECT doc_id,
+           round(length(regexp_replace(text,
+             '[^A-Z0-9\\-\\[\\],."''()]', '', 'g')) * 1.0
+             / length(text), 6) AS letter_ratio
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def f2_letter_ratio(spark, sf_dir):
+    """F2 (language.rb:40-42)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    return docs.select(
+        "doc_id", F.round(T.letter_ratio(F.col("text")), 6).alias("letter_ratio")
+    )
+
+
+@q(
+    "f4_year_ratio",
+    """
+    SELECT doc_id,
+           round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> regexp_matches(x, '[^\\d]\\d{4}[^\\d]'))) * 1.0
+             / len(string_split_regex(trim(text), '\\s+')), 6) AS year_ratio
+    FROM documents WHERE trim(text) <> ''
+    """,
+)
+def f4_year_ratio(spark, sf_dir):
+    """F4 (language.rb:63-71)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    return docs.select(
+        "doc_id", F.round(T.year_ratio(F.col("text")), 6).alias("year_ratio")
+    )
+
+
+@q(
+    "f5_word_count",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END
+             AS word_count
+    FROM documents
+    """,
+)
+def f5_word_count(spark, sf_dir):
+    """F5 (language.rb:77-79)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.word_count(F.col("text")).cast("bigint").alias("word_count")
+    )
+
+
+@q(
+    "f7_hyphen_join",
+    """
+    WITH l AS (
+      SELECT doc_id,
+             [substring(text, 1, 30) || '-',
+              substring(text, 31, 30) || '-',
+              substring(text, 61, 30)] AS lines
+      FROM documents WHERE length(text) >= 90
+    )
+    SELECT doc_id,
+           trim(replace(replace(array_to_string(lines, chr(1)),
+                '-' || chr(1), ''), chr(1), ' ')) AS joined
+    FROM l
+    """,
+)
+def f7_hyphen_join(spark, sf_dir):
+    """F7 (spatial.rb:98-112): hyphen-aware line concat via a JVM-side
+    aggregate() fold over the lines array.  The oracle states the
+    equivalent separator-substitution form (identical for any line set
+    whose final line does not end in '-')."""
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") >= 90)
+    lines = F.array(
+        F.concat(F.substring("text", 1, 30), F.lit("-")),
+        F.concat(F.substring("text", 31, 30), F.lit("-")),
+        F.substring("text", 61, 30),
+    )
+    return docs.select("doc_id", T.hyphen_join(lines).alias("joined"))
+
+
+# =====================================================================
+# Training-data pipeline: dedup / similarity / text analysis
+# =====================================================================
+
+@q(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL}) AS text_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized text, canonical winner =
+    min id.  One shuffle, partial-aggregated."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+@q(
+    "dedup_minhash_bands",
+    f"""
+    WITH n AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, greatest(len(w) - 2, 1))] AS shingles
+      FROM n WHERE len(w) >= 3
+    ),
+    sig AS (
+      SELECT doc_id,
+             [list_min([substring(md5(s || '#' || seed), 1, 12)
+                        for s in shingles])
+              for seed in generate_series(0, 15)] AS mh
+      FROM sh
+    )
+    SELECT doc_id, band,
+           md5(array_to_string(mh[band * 4 + 1 : band * 4 + 4], ',')) AS band_hash
+    FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)
+    """,
+)
+def dedup_minhash_bands(spark, sf_dir):
+    """MinHash(16) + LSH banding (4 bands x 4 rows): one row per
+    (doc, band) with an md5 band key.  Near-dup candidates are then an
+    equi-join on (band, band_hash) — shuffle scales with matches, not
+    n^2.  Hex-string minhash keeps values engine-portable."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.size(F.split(dedup.normalize_text(F.col("text")), " ")) >= 3
+    )
+    return dedup.minhash_bands(docs, num_hashes=16, band_size=4, k=3)
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens FROM documents
+    )
+    SELECT doc_id,
+           (SELECT sum(
+              CASE WHEN list_sum([CASE WHEN substring(md5(tok), j + 1, 1)
+                                            IN ('8','9','a','b','c','d','e','f')
+                                       THEN 1 ELSE -1 END
+                                  for tok in tokens]) > 0
+                   THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+            FROM generate_series(0, 15) AS g(j)) AS fingerprint
+    FROM t
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash(16) fingerprint per doc — md5-nibble bit definition is
+    engine-portable; near-dups differ in few bits (Hamming join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dedup.simhash(F.col("text"), bits=16).alias("fingerprint")
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH n AS (
+      SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in generate_series(1, len(w) - 2)]) AS s
+      FROM n WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 /
+                 len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND b.doc_id - a.doc_id <= 25
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram Jaccard similarity over blocked pairs (same lang, id
+    window) — the exact-verify stage that follows LSH candidate
+    generation.  array_intersect/union stay JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(dedup.word_shingles(F.col("text"), 3)).alias("s"),
+    ).where(F.size(F.split(dedup.normalize_text(F.col("text")), " ")) >= 3)
+    a = sh.select(
+        F.col("doc_id").alias("a"), F.col("lang").alias("lang_a"), F.col("s").alias("s_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("b"), F.col("lang").alias("lang_b"), F.col("s").alias("s_b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("a") < F.col("b"))
+        & (F.col("b") - F.col("a") <= 25),
+    )
+    inter = F.size(F.array_intersect("s_a", "s_b")).cast("double")
+    union = F.size(F.array_union("s_a", "s_b")).cast("double")
+    return pairs.select(
+        "a", "b", F.round(inter / union, 6).alias("jaccard")
+    )
+
+
+@q(
+    "lang_id_en",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(w) > 0 AND
+                     len(list_filter(w, x -> list_contains(
+                       ['the','and','of','to','in','is','that','for','with',
+                        'as','was','on','are','by','this','be','or','an','a',
+                        'it'], x))) * 1.0 / len(w) >= 0.08
+                THEN 'en' ELSE 'other' END AS lang_pred
+    FROM t
+    """,
+)
+def lang_id_en(spark, sf_dir):
+    """Language ID heuristic: function-word hit ratio (SURVEY brief:
+    text analysis for training pipelines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", Q.lang_id_en(F.col("text")).alias("lang_pred")
+    )
+
+
+@q(
+    "token_count_bpe",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS n_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer counting (letter runs / digit runs /
+    single symbols)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", Q.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+
+
+@q(
+    "quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             length(text) AS n,
+             len(list_filter(w, x -> list_contains(
+               ['the','and','of','to','in','is','that','for','with','as',
+                'was','on','are','by','this','be','or','an','a','it'], x)))
+               * 1.0 / len(w) AS sw,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+               / length(text) AS pr,
+             list_sum([length(x) for x in w]) * 1.0 / len(w) AS mwl
+      FROM t WHERE len(w) > 0 AND length(text) > 0
+    )
+    SELECT doc_id,
+           round(
+             (CASE WHEN n BETWEEN 200 AND 20000 THEN 1.0
+                   WHEN n BETWEEN 50 AND 199 THEN 0.5 ELSE 0.0 END)::DOUBLE * 0.3 +
+             (CASE WHEN sw >= 0.08 THEN 1.0
+                   WHEN sw >= 0.03 THEN 0.5 ELSE 0.0 END)::DOUBLE * 0.3 +
+             (CASE WHEN pr <= 0.1 THEN 1.0
+                   WHEN pr <= 0.25 THEN 0.5 ELSE 0.0 END)::DOUBLE * 0.2 +
+             (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)::DOUBLE * 0.2,
+           6)::DOUBLE AS quality
+    FROM c
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Composite quality score (length/stopword/punct/word-length
+    bands) — all bands integer-ish so equality is exact."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.length("text") > 0) & (F.trim("text") != "")
+    )
+    return docs.select(
+        "doc_id", F.round(Q.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@q(
+    "fingerprint_minshingle",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM_SQL} AS s FROM documents
+      WHERE length({_NORM_SQL}) >= 8
+    )
+    SELECT doc_id,
+           list_min([substring(md5(substring(s, i, 8)), 1, 12)
+                     for i in generate_series(1, length(s) - 7)]) AS fingerprint
+    FROM t
+    """,
+)
+def fingerprint_minshingle(spark, sf_dir):
+    """Winnowing-style document fingerprint: min md5 prefix over 8-char
+    shingles of normalized text (rolling-hash min, engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", dedup.normalize_text(F.col("text")).alias("s")
+    ).where(F.length("s") >= 8)
+    idx = F.sequence(F.lit(1), F.length("s") - 7)
+    fp = F.array_min(
+        F.transform(idx, lambda i: F.substring(F.md5(F.col("s").substr(i, F.lit(8))), 1, 12))
+    )
+    return t.select("doc_id", fp.alias("fingerprint"))
+
+
+@q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4)
+             AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (similarity-search baseline): JVM-side
+    zip_with/aggregate dot product, TakeOrderedAndProject top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .head()[0]
+    )
+    out = similarity.cosine_topk(emb, qvec, k=10)
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+# =====================================================================
+# Flagship pipeline entries (UDF-bound; rows-only driver checks)
+# =====================================================================
+
+def _transcripts(spark, sf_dir):
+    from ..sources.transcripts import synth_transcripts
+
+    return synth_transcripts(spark, sf_dir)
+
+
+@q("pipeline_references")
+def pipeline_references(spark, sf_dir):
+    """Full extraction -> one row per extracted reference string
+    (A5/A7/F10-F12 composite; driver does a rows-only check since the
+    sequential merges are not SQL-expressible)."""
+    from .extract import extract_exploded
+
+    return extract_exploded(_transcripts(spark, sf_dir), "references")
+
+
+@q("pipeline_titles")
+def pipeline_titles(spark, sf_dir):
+    """Full extraction -> per-turn title rows (W4/P3 composite)."""
+    from .extract import extract_exploded
+
+    return extract_exploded(_transcripts(spark, sf_dir), "titles")
+
+
+@q("pipeline_regions")
+def pipeline_regions(spark, sf_dir):
+    """Full extraction -> per-region rows with line arrays (A1-A5/W5)."""
+    from .extract import extract_exploded
+
+    return extract_exploded(_transcripts(spark, sf_dir), "regions").drop("lines")
+
+
+@q("pipeline_metrics")
+def pipeline_metrics(spark, sf_dir):
+    """Per-partition lineage metrics rollup (north_rule: extraction
+    metrics — chars in, regions found, references matched)."""
+    from .extract import extract
+
+    res = extract(_transcripts(spark, sf_dir))
+    return res.groupBy("role").agg(
+        F.count("*").alias("turns"),
+        F.sum("metrics.chars_in").alias("chars_in"),
+        F.sum("metrics.regions_found").alias("regions_found"),
+        F.sum("metrics.refs_matched").alias("refs_matched"),
+    )
