@@ -1,0 +1,133 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", plus extraction-throughput extras}.
+
+Modes:
+  python bench.py                      # headline suite, one JSON line
+  python bench.py --cores N --extract-only
+                                       # subprocess worker for the
+                                       # scaling harness (tools/scaling.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName("pdfextract-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1).rstrip(".")) if m else 0.0
+
+
+# Headline operator queries benched besides the flagship extraction.
+BENCH_QUERIES = [
+    "a2_islands_sessionize",
+    "a4_interval_union_stats",
+    "p10_j2_containment_join",
+    "a9_ideal_scoring",
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "dedup_simhash",
+    "quality_score",
+    "token_count_bpe",
+    "fingerprint_minshingle",
+    "ann_cosine_topk",
+]
+
+
+def run_extraction(spark, sf_dir: str, turns_per_doc: int):
+    """Flagship: synth transcripts -> full extraction -> noop sink.
+    Returns (n_turns, seconds, turns_per_sec).
+
+    A small warm-up pass first spins up and primes the Python workers
+    (imports + JIT): on a long-lived cluster workers are reused across
+    stages, so steady-state throughput is the meaningful number —
+    interpreter cold-start would otherwise dominate short local runs
+    and scale WITH core count, inverting any scaling measurement."""
+    from pdfextract_spark.plans import extract
+    from pdfextract_spark.sources import synth_transcripts
+
+    cores = spark.sparkContext.defaultParallelism
+    t = synth_transcripts(spark, sf_dir, turns_per_doc=turns_per_doc)
+    t = t.cache()
+    n = t.count()  # materialize input outside the timed window
+
+    warm = t.limit(cores * 8).repartition(cores)
+    extract(warm).write.format("noop").mode("overwrite").save()
+
+    t0 = time.time()
+    extract(t, repartition=max(cores * 4, 32)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.time() - t0
+    t.unpersist()
+    return n, dt, n / dt
+
+
+def main() -> None:
+    cores_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cores = int(cores_env)
+    extract_only = "--extract-only" in sys.argv
+    if "--cores" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--cores") + 1])
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    turns_per_doc = int(os.environ.get("SPARK_GRAFT_TURNS_PER_DOC", "8"))
+
+    spark = build_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    n_turns, ext_sec, tps = run_extraction(spark, sf_dir, turns_per_doc)
+    queries["extract_pipeline"] = round(ext_sec, 3)
+
+    if not extract_only:
+        from pdfextract_spark.plans.driver_queries import QUERIES
+
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "headline suite wall time (extraction + operators)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_of(sf_dir),
+        "cores": cores,
+        "turns": n_turns,
+        "extract_turns_per_sec": round(tps, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

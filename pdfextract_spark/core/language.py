@@ -37,10 +37,21 @@ _TRANSLIT_RE = re.compile("|".join(map(re.escape, _TRANSLIT)))
 _WS_RE = re.compile(r"\s+")
 
 
+_TRANSLIT_CHARS = set("".join(_TRANSLIT))
+_WS_ODD = set("\t\n\r\x0b\f")
+
+
 def transliterate(s: str) -> str:
-    """language.rb:5-38 — char map then ``gsub /\\s+/, " "`` (no strip)."""
-    s = _TRANSLIT_RE.sub(lambda m: _TRANSLIT[m.group(0)], s)
-    return _WS_RE.sub(" ", s)
+    """language.rb:5-38 — char map then ``gsub /\\s+/, " "`` (no strip).
+
+    Fast-pathed: the regex substitutions only run when the string can
+    actually contain a mapped char / collapsible whitespace (the vast
+    majority of typeset line contents cannot)."""
+    if not _TRANSLIT_CHARS.isdisjoint(s):
+        s = _TRANSLIT_RE.sub(lambda m: _TRANSLIT[m.group(0)], s)
+    if "  " in s or not _WS_ODD.isdisjoint(s):
+        s = _WS_RE.sub(" ", s)
+    return s
 
 
 # --- F2: letter_ratio (language.rb:40-42) --------------------------------
@@ -56,28 +67,27 @@ def letter_ratio(s: str) -> float:
 
 
 # --- F3: cap_ratio (language.rb:45-61) -----------------------------------
+_CAP_RE = re.compile(r"[A-Z]")
+# a capital is NOT counted exactly when every char between it and the
+# previous '.' (or the string start) is whitespace — i.e. sentence_end
+# survives only through whitespace (language.rb:49-57).
+_CAP_AT_START_RE = re.compile(r"(?:\A|\.)\s*[A-Z]")
+
+
 def cap_ratio(s: str) -> float:
     """State-machine scan: capitals not at sentence start / word count.
 
     '.' sets sentence_end; [A-Z] counts unless sentence_end (and clears
     it); any other non-space clears it; whitespace leaves state alone.
     Division by ``s.split.length`` — 0 words -> NaN (Ruby 0/0.0).
+    Implemented as two regex counts equivalent to the char scan.
     """
-    sentence_end = True
-    cap_count = 0
-    for c in s:
-        if c == ".":
-            sentence_end = True
-        elif "A" <= c <= "Z":
-            if not sentence_end:
-                cap_count += 1
-            sentence_end = False
-        elif not c.isspace():
-            sentence_end = False
     words = len(s.split())
     if words == 0:
         return float("nan")
-    return cap_count / float(words)
+    total = len(_CAP_RE.findall(s))
+    uncounted = len(_CAP_AT_START_RE.findall(s))
+    return (total - uncounted) / float(words)
 
 
 # --- F4: year_ratio (language.rb:63-71) ----------------------------------

@@ -79,13 +79,21 @@ def _normalize(word: str) -> str:
     return w
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 17)
+def _weight(word: str) -> float:
+    return _NAME_WEIGHTS.get(_normalize(word), 0.0)
+
+
 def name_frequency(content: str) -> float:
     words = content.split()
     if not words:
         return 0.0
     total = 0.0
     for word in words:
-        total += _NAME_WEIGHTS.get(_normalize(word), 0.0) if word else 0.0
+        total += _weight(word)
     if total == 0:
         return 0.0
     return total / float(len(words))

@@ -92,11 +92,27 @@ def minhash_bands(
     k: int = 3,
 ) -> DataFrame:
     """LSH banding: one row per (doc, band) with the band hash.
-    Candidate pairs = equi-join on (band, band_hash)."""
-    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    Candidate pairs = equi-join on (band, band_hash).
+
+    Physical shape chosen for scale: explode shingles once, compute
+    every seed's md5 exactly once per shingle, then map-side partial
+    ``min`` aggregation collapses to one row per doc per partition
+    before the single shuffle.  (The naive nested-expression form
+    recomputes the shingle array once per seed — 16x the hashing — and
+    defeats whole-stage codegen with a giant expression tree.)"""
     n_bands = num_hashes // band_size
-    out = df.select(F.col(id_col), sig.alias("sig"))
-    bands = out.select(
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    )
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.substring(F.md5(F.concat(F.col("sh"), F.lit(f"#{s}"))), 1, 12)
+            ).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    bands = mins.select(
         id_col,
         F.explode(
             F.array(
@@ -107,7 +123,7 @@ def minhash_bands(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at("sig", b * band_size + i + 1)
+                                    F.col(f"mh{b * band_size + i}")
                                     for i in range(band_size)
                                 ],
                             )

@@ -1,0 +1,123 @@
+"""Multimodal column plumbing (build brief: image/audio/video as
+opaque binary columns with typed metadata).
+
+The Spark-side architecture is fully real — schemas, partitioning,
+Arrow batch shapes, mapInPandas UDF signatures — while the actual
+media decode is stubbed behind ``NotImplementedError`` or a
+deterministic fake, because no image/audio libraries exist in this
+container.  Swapping ``_decode_image_stub`` for PIL/libvips keeps
+every plan unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),  # opaque bytes
+        StructField("width", IntegerType()),  # typed metadata
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes) -> np.ndarray:
+    """STUB: a real implementation decodes with PIL/turbojpeg.  The
+    deterministic fake derives a pseudo-pixel array from the bytes so
+    the downstream feature plumbing is testable end-to-end."""
+    arr = np.frombuffer(payload[:1024], dtype=np.uint8).astype(np.float32)
+    if arr.size == 0:
+        arr = np.zeros(16, dtype=np.float32)
+    return arr
+
+
+def decode_audio(payload: bytes):  # pragma: no cover - stub
+    raise NotImplementedError(
+        "audio decode requires ffmpeg/librosa (absent in this container); "
+        "the plan-level plumbing in media_features() is the deliverable"
+    )
+
+
+def sample_video_frames(payload: bytes, every_ms: int = 1000):  # pragma: no cover
+    raise NotImplementedError(
+        "video frame sampling requires ffmpeg (absent in this container)"
+    )
+
+
+def media_features(df: DataFrame, feat_dim: int = 16) -> DataFrame:
+    """Arrow-batched feature extraction over opaque media payloads.
+
+    mapInPandas keeps payload bytes off the driver entirely; each batch
+    decodes vectorized and emits a fixed-dim float feature.  At 100 TB
+    the input is partitioned by media_id hash; nothing here shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                raw = _decode_image_stub(bytes(payload or b""))
+                # deterministic fixed-dim pooling (mean over strides)
+                pad = (-raw.size) % feat_dim
+                pooled = np.pad(raw, (0, pad)).reshape(feat_dim, -1).mean(axis=1)
+                feats.append(pooled.astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [
+                        len(bytes(p or b"")) for p in pdf["payload"]
+                    ],
+                    "feature": feats,
+                }
+            )
+
+    src = df.select("media_id", "kind", "payload")
+    return src.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests: payload bytes derived
+    from media_id (no RNG)."""
+    base = spark.range(n).select(F.col("id").alias("media_id"))
+    payload = F.sha2(F.col("media_id").cast("string"), 256).cast("binary")
+    return base.select(
+        "media_id",
+        F.when(F.col("media_id") % 3 == 0, "image")
+        .when(F.col("media_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        payload.alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(1000).alias("duration_ms"),
+    )

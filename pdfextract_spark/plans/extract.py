@@ -31,7 +31,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..core import extract_turn, render_turn
+from ..core import extract_turn, render_turn  # noqa: F401 (render_turn: oracle path)
+from ..core.language import transliterate
 from ..settings import DEFAULT, Settings
 
 _D = DoubleType()
@@ -146,54 +147,61 @@ RESULT_SCHEMA = StructType(
 )
 
 
-def _region_row(r: dict) -> dict:
+def _ident(v):
+    return v
+
+
+def _region_row(r: dict, rnd=_ident, tx=_ident) -> dict:
+    """Schema-aware render: rounding (xml_view.rb:24-29) and content
+    transliteration (xml_view.rb:92-94) applied per known field — much
+    cheaper than a generic deep walk at millions of turns."""
     return {
-        "x": r["x"],
-        "y": r["y"],
-        "width": r["width"],
-        "height": r["height"],
-        "line_height": r["line_height"],
+        "x": rnd(r["x"]),
+        "y": rnd(r["y"]),
+        "width": rnd(r["width"]),
+        "height": rnd(r["height"]),
+        "line_height": rnd(r["line_height"]),
         "font": r["font"],
         "page": r["page"],
         "lines": [
             {
-                "content": l["content"],
-                "x_offset": l["x_offset"],
-                "y_offset": l["y_offset"],
-                "spacing": l["spacing"],
+                "content": tx(l["content"]),
+                "x_offset": rnd(l["x_offset"]),
+                "y_offset": rnd(l["y_offset"]),
+                "spacing": rnd(l["spacing"]),
             }
             for l in r.get("lines", [])
         ],
     }
 
 
-def _section_row(s: dict, content: str) -> dict:
+def _section_row(s: dict, content: str, rnd=_ident, tx=_ident) -> dict:
     return {
-        "content": content,
-        "letter_ratio": s["letter_ratio"],
-        "year_ratio": s["year_ratio"],
-        "cap_ratio": s["cap_ratio"],
-        "name_ratio": s["name_ratio"],
+        "content": tx(content),
+        "letter_ratio": rnd(s["letter_ratio"]),
+        "year_ratio": rnd(s["year_ratio"]),
+        "cap_ratio": rnd(s["cap_ratio"]),
+        "name_ratio": rnd(s["name_ratio"]),
         "word_count": s["word_count"],
-        "lateness": s["lateness"],
-        "reference_score": s["reference_score"],
-        "line_height": s.get("line_height"),
+        "lateness": rnd(s["lateness"]),
+        "reference_score": rnd(s["reference_score"]),
+        "line_height": rnd(s.get("line_height")),
         "font": s.get("font"),
         "lines": [
             {
-                "content": l["content"],
-                "x_offset": l["x_offset"],
-                "y_offset": l["y_offset"],
-                "spacing": l["spacing"],
+                "content": tx(l["content"]),
+                "x_offset": rnd(l["x_offset"]),
+                "y_offset": rnd(l["y_offset"]),
+                "spacing": rnd(l["spacing"]),
             }
             for l in s.get("lines", [])
         ],
         "components": [
             {
-                "x": c["x"],
-                "y": c["y"],
-                "width": c["width"],
-                "height": c["height"],
+                "x": rnd(c["x"]),
+                "y": rnd(c["y"]),
+                "width": rnd(c["width"]),
+                "height": rnd(c["height"]),
                 "page": c["page"],
             }
             for c in s.get("components", [])
@@ -222,61 +230,92 @@ def extract(
             repartition, F.xxhash64(F.col("conv_id"), F.col("turn_idx"))
         )
 
+    precision = settings.precision
+
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(RESULT_SCHEMA)
+
     def run(batches):
-        for pdf in batches:
+        """Arrow-native stage: consume pyarrow RecordBatches, run the
+        per-turn kernel, emit typed RecordBatches directly.  Bypassing
+        the pandas object path cuts serialization from ~10x kernel cost
+        to a small constant (pa.array over python structs is C-side)."""
+        if rendered:
+            def rnd(v):
+                return None if v is None else round(v, precision)
+
+            tx = transliterate
+        else:
+            rnd = tx = _ident
+        for batch in batches:
+            pdf = batch.to_pydict()
             rows = []
             for conv_id, turn_idx, role, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"]
             ):
                 res = extract_turn(text or "", settings)
-                if rendered:
-                    res = render_turn(res, settings)
                 secs = []
                 for s in res.get("sections") or []:
                     content = get_text_content(s)
-                    secs.append(_section_row(s, content))
+                    secs.append(_section_row(s, content, rnd, tx))
+                title = res.get("title")
+                if title is not None:
+                    title = {
+                        "content": tx(title["content"]),
+                        "line_height": rnd(title["line_height"]),
+                        "font": title["font"],
+                    }
                 rows.append(
                     {
                         "conv_id": conv_id,
                         "turn_idx": int(turn_idx),
                         "role": role,
                         "page_count": res["page_count"],
-                        "title": res.get("title"),
+                        "title": title,
                         "regions": [
-                            _region_row(r) for r in res.get("regions") or []
+                            _region_row(r, rnd, tx)
+                            for r in res.get("regions") or []
                         ],
                         "zones": [
                             {
                                 "zone": z["group"],
-                                "x": z["x"],
-                                "y": z["y"],
-                                "width": z["width"],
-                                "height": z["height"],
+                                "x": rnd(z["x"]),
+                                "y": rnd(z["y"]),
+                                "width": rnd(z["width"]),
+                                "height": rnd(z["height"]),
                                 "page": z["page"],
                             }
                             for z in res.get("zones") or []
                         ],
                         "columns": [
                             {
-                                "x": c["x"],
-                                "y": c["y"],
-                                "width": c["width"],
-                                "height": c["height"],
+                                "x": rnd(c["x"]),
+                                "y": rnd(c["y"]),
+                                "width": rnd(c["width"]),
+                                "height": rnd(c["height"]),
                                 "page": c["page"],
                             }
                             for c in res.get("columns") or []
                         ],
                         "sections": secs,
                         "references": [
-                            {"content": r["content"], "order": r.get("order")}
+                            {"content": tx(r["content"]), "order": r.get("order")}
                             for r in res.get("references") or []
                         ],
                         "metrics": res["metrics"],
                     }
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in RESULT_SCHEMA])
+            arrays = [
+                pa.array(
+                    [r[field.name] for r in rows], type=field.type
+                )
+                for field in arrow_schema
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
-    return src.mapInPandas(run, schema=RESULT_SCHEMA)
+    return src.mapInArrow(run, schema=RESULT_SCHEMA)
 
 
 def extract_exploded(df: DataFrame, artifact: str, **kw) -> DataFrame:

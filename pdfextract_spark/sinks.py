@@ -1,0 +1,122 @@
+"""Resumable, checkpointed extraction runs with per-partition lineage
+and metrics (BASELINE.json north_rule: "resumable from checkpoint with
+per-partition lineage + metrics").
+
+Mechanism (Iceberg-shaped, parquet-backed in this sandbox):
+- the turn keyspace is split into ``n_buckets`` stable buckets via
+  pmod(xxhash64(conv_id, turn_idx), n) — the same hash the extraction
+  plan repartitions by, so bucket == physical partition lineage unit
+- output written as parquet partitioned by ``bucket`` (with Iceberg
+  this is a hidden-partition ``bucket(conv_id, N)`` transform and each
+  batch commit is a snapshot)
+- after each bucket-batch commit, one lineage row per bucket is
+  appended to ``<out>/_lineage`` recording rows/chars/regions/refs
+- ``resume=True`` reads the lineage table and processes only buckets
+  without a committed lineage row; re-running a partially-failed job
+  is idempotent (dynamic partition overwrite replaces any partial
+  bucket output)
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.extract import extract
+from .settings import DEFAULT, Settings
+
+LINEAGE_SUBDIR = "_lineage"
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(n_buckets)).cast(
+            "int"
+        ),
+    )
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    try:
+        rows = (
+            spark.read.parquet(f"{out_dir}/{LINEAGE_SUBDIR}")
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        return {r[0] for r in rows}
+    except Exception:
+        return set()
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    settings: Settings = DEFAULT,
+    n_buckets: int = 64,
+    buckets_per_batch: int = 16,
+    resume: bool = True,
+) -> DataFrame:
+    """Execute the extraction over all (remaining) buckets in batches,
+    committing output + lineage per batch.  Returns the lineage table.
+
+    Batches bound the blast radius of a failure: a crash loses at most
+    one uncommitted batch, and ``resume=True`` picks up from the last
+    committed lineage row.  With Iceberg, replace the parquet writes
+    with ``writeTo(...).overwritePartitions()`` — the logic is
+    unchanged.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    src = with_bucket(transcripts, n_buckets)
+
+    done = completed_buckets(spark, out_dir) if resume else set()
+    todo = [b for b in range(n_buckets) if b not in done]
+
+    for i in range(0, len(todo), buckets_per_batch):
+        batch = todo[i : i + buckets_per_batch]
+        part = src.where(F.col("bucket").isin(batch))
+        # recompute the bucket from the same hash instead of joining it
+        # back — the extraction output keeps (conv_id, turn_idx), so the
+        # bucket is a pure projection (no shuffle).
+        result = with_bucket(extract(part, settings), n_buckets)
+        result.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+
+        lineage = (
+            result.groupBy("bucket")
+            .agg(
+                F.count("*").alias("rows_out"),
+                F.sum("metrics.chars_in").alias("chars_in"),
+                F.sum("metrics.regions_found").alias("regions_found"),
+                F.sum("metrics.sections_found").alias("sections_found"),
+                F.sum("metrics.refs_matched").alias("refs_matched"),
+            )
+            .withColumn("committed_at", F.lit(time.time()))
+        )
+        lineage.write.mode("append").parquet(f"{out_dir}/{LINEAGE_SUBDIR}")
+
+    return spark.read.parquet(f"{out_dir}/{LINEAGE_SUBDIR}")
+
+
+def conv_metrics_rollup(result: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Conversation-level metric rollup with two-phase (salted)
+    aggregation — the one place conv-level skew matters (SURVEY.md §4
+    'Skewed long conversations'): a 10^8-turn conversation would
+    hot-spot a naive groupBy(conv_id), so partials are computed per
+    (conv_id, salt) first, then combined."""
+    salted = result.withColumn(
+        "_salt", F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("conv_id", "_salt").agg(
+        F.count("*").alias("turns"),
+        F.sum("metrics.chars_in").alias("chars_in"),
+        F.sum("metrics.refs_matched").alias("refs_matched"),
+    )
+    return partial.groupBy("conv_id").agg(
+        F.sum("turns").alias("turns"),
+        F.sum("chars_in").alias("chars_in"),
+        F.sum("refs_matched").alias("refs_matched"),
+    )

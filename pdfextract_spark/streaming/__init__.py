@@ -1,0 +1,1 @@
+from .extract_stream import extract_stream, start_file_stream  # noqa: F401

@@ -1,0 +1,202 @@
+"""Spark-level operator tests (local[2]) against hand-built frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfextract_spark.operators import dedup, histogram, intervals, islands
+from pdfextract_spark.operators import quality as Q
+from pdfextract_spark.operators import ranking, scoring, similarity
+from pdfextract_spark.operators import text as T
+
+pytestmark = pytest.mark.spark
+
+
+def test_islands_sessionize(spark):
+    rows = [
+        (1, 0.0), (1, 10.0), (1, 100.0), (1, 105.0),
+        (2, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "user bigint, t double")
+    out = islands.islands(
+        df, ["user"], "t",
+        F.col("t") - F.lag("t").over(
+            __import__("pyspark").sql.Window.partitionBy("user").orderBy("t")
+        ) > 50,
+    )
+    # lag-based flag: first row null -> otherwise(0) -> island starts at 0
+    got = {(r["user"], r["t"]): r["island"] for r in out.collect()}
+    assert got[(1, 0.0)] == got[(1, 10.0)]
+    assert got[(1, 100.0)] == got[(1, 105.0)]
+    assert got[(1, 0.0)] != got[(1, 100.0)]
+
+
+def test_merge_intervals_union(spark):
+    rows = [(1, 0, 10), (1, 5, 20), (1, 30, 40), (2, 0, 1)]
+    df = spark.createDataFrame(rows, "k int, lo int, hi int")
+    out = intervals.merge_intervals(df, ["k"], "lo", "hi").collect()
+    k1 = sorted((r["lo"], r["hi"]) for r in out if r["k"] == 1)
+    assert k1 == [(0, 20), (30, 40)]
+
+
+def test_interval_stats_matches_multirange(spark):
+    # cross-check the SQL form against the in-kernel MultiRange (A4)
+    from pdfextract_spark.core.multirange import MultiRange
+
+    ivs = [(0, 10), (5, 20), (30, 40), (41, 45), (100, 130)]
+    m = MultiRange()
+    for lo, hi in ivs:
+        m.append(lo, hi)
+    df = spark.createDataFrame([(1, lo, hi) for lo, hi in ivs], "k int, lo int, hi int")
+    row = intervals.interval_stats(df, ["k"]).collect()[0]
+    assert row["n_intervals"] == m.count
+    assert row["mask_min"] == m.min and row["mask_max"] == m.max
+    assert row["covered"] == m.covered
+    assert row["widest"] == m.widest and row["narrowest"] == m.narrowest
+
+
+def test_top_k_and_flex(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 9.0), (1, "c", 5.0), (2, "d", 1.0)],
+        "g int, id string, v double",
+    )
+    top = ranking.top_k(df, ["g"], [F.col("v").desc()], k=1)
+    assert {r["id"] for r in top.collect()} == {"a", "d"}
+    flex = ranking.flex_threshold(df, ["g"], "v", 0.2)
+    assert {r["id"] for r in flex.collect()} == {"a", "b", "d"}
+
+
+def test_second_most_frequent(spark):
+    df = spark.createDataFrame(
+        [(1, 3.2), (1, 3.9), (1, 3.5), (1, 0.1), (1, 0.9), (1, 7.0)],
+        "g int, v double",
+    )
+    out = histogram.nth_most_frequent(df, ["g"], "v", 2).collect()
+    assert len(out) == 1
+    assert out[0]["delimiter"] == 0 and out[0]["delimiter_count"] == 2
+
+
+def test_ideal_score_matches_kernel(spark):
+    # A9 SQL form vs core/spatial.score on the same items
+    from pdfextract_spark.core.spatial import score as kscore
+
+    items = [{"f": 1.0}, {"f": 3.0}, {"f": 2.0}]
+    kscore(items, {"f": (1.0, 10.0)}, "s")
+    df = spark.createDataFrame([(1, i["f"]) for i in items], "g int, f double")
+    out = scoring.ideal_score(df, ["g"], {"f": (1.0, 10.0)}, "s").orderBy("f").collect()
+    for row, item in zip(out, sorted(items, key=lambda i: i["f"])):
+        assert abs(row["s"] - item["s"]) < 1e-12
+
+
+def test_hyphen_join_column(spark):
+    df = spark.createDataFrame(
+        [(1, ["syn-", "thetic text"]), (2, ["a", "b"])], "id int, lines array<string>"
+    )
+    out = {r["id"]: r["j"] for r in df.select("id", T.hyphen_join(F.col("lines")).alias("j")).collect()}
+    assert out[1] == "synthetic text"
+    assert out[2] == "a b"
+
+
+def test_transliterate_column_matches_kernel(spark):
+    from pdfextract_spark.core.language import transliterate as ktx
+
+    samples = ["eﬀort ﬁne", "‘a’ “b” – —", "x  y\tz", "plain"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    out = [r["t"] for r in df.select(T.transliterate(F.col("s")).alias("t")).collect()]
+    assert out == [ktx(s) for s in samples]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id bigint, text string",
+    )
+    out = dedup.exact_dedup(df).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep == {1: 2, 3: 1}
+
+
+def test_lsh_candidates_find_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely unrelated content about database engines and query plans"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id bigint, text string"
+    )
+    pairs = dedup.lsh_candidate_pairs(df, num_hashes=16, band_size=4, k=3).collect()
+    assert (1, 2) in {(r["a"], r["b"]) for r in pairs}
+    jac = dedup.jaccard_pairs(
+        df, dedup.lsh_candidate_pairs(df, num_hashes=16, band_size=4, k=3)
+    ).collect()
+    j12 = [r["jaccard"] for r in jac if (r["a"], r["b"]) == (1, 2)][0]
+    assert j12 > 0.5
+
+
+def test_simhash_near_dup_low_hamming(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    near = base + "extra"
+    other = "zzz qqq " * 20
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r["h"] for r in df.select(
+        "doc_id", dedup.simhash(F.col("text"), 16).alias("h")
+    ).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(out[1], out[2]) <= ham(out[1], out[3])
+
+
+def test_cosine_topk_self_first(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = similarity.cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert out[0]["vec_id"] == 0 and abs(out[0]["cos_sim"] - 1.0) < 1e-9
+    assert out[1]["vec_id"] == 1
+
+
+def test_ivf_bucket_prunes(spark):
+    df = spark.createDataFrame(
+        [(0, [0.05, 0.05]), (1, [0.06, 0.06]), (2, [5.0, 5.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = similarity.cosine_topk_ivf(df, [0.05, 0.05], k=10, dims=2, width=0.2)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert 0 in ids and 1 in ids and 2 not in ids  # far bucket pruned
+
+
+def test_quality_and_langid(spark):
+    good = (
+        "The quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps in the sun for a while. " * 5
+    )
+    junk = "@@@@ #### $$$$ %%%% ^^^^ &&&&"
+    df = spark.createDataFrame([(1, good), (2, junk)], "doc_id bigint, text string")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            Q.quality_score(F.col("text")).alias("q"),
+            Q.lang_id_en(F.col("text")).alias("lang"),
+            Q.token_count(F.col("text")).alias("toks"),
+        ).collect()
+    }
+    assert rows[1]["q"] > rows[2]["q"]
+    assert rows[1]["lang"] == "en" and rows[2]["lang"] == "other"
+    assert rows[1]["toks"] > 50
+
+
+def test_multimodal_feature_plumbing(spark):
+    from pdfextract_spark.operators import multimodal as M
+
+    media = M.synth_media(spark, 12)
+    feats = M.media_features(media, feat_dim=8).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["n_bytes"] > 0 for r in feats)
+    # determinism
+    feats2 = M.media_features(M.synth_media(spark, 12), feat_dim=8).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
