@@ -1012,3 +1012,99 @@ def pipeline_metrics(spark, sf_dir):
         F.sum("metrics.regions_found").alias("regions_found"),
         F.sum("metrics.refs_matched").alias("refs_matched"),
     )
+
+
+# =====================================================================
+# Additional inventory coverage (A1, F3, F9, W3)
+# =====================================================================
+
+@q(
+    "a1_exact_key_grouping",
+    """
+    SELECT user_id, value, count(*) AS n, min(event_id) AS first_event
+    FROM events GROUP BY user_id, value
+    """,
+)
+def a1_exact_key_grouping(spark, sf_dir):
+    """A1 (chunks.rb:35-45): row bucketing on an EXACT float key — the
+    reference keys char rows on raw float y; grouping by a double is
+    exact in both engines (no epsilon)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "value").agg(
+        F.count("*").alias("n"), F.min("event_id").alias("first_event")
+    )
+
+
+@q(
+    "f3_cap_ratio",
+    """
+    SELECT doc_id,
+           round((len(regexp_extract_all(text, '[A-Z]')) -
+                  len(regexp_extract_all(text, '(^|\\.)\\s*[A-Z]'))) * 1.0
+                 / len(string_split_regex(trim(text), '\\s+')), 6) AS cap_ratio
+    FROM documents WHERE trim(text) <> ''
+    """,
+)
+def f3_cap_ratio(spark, sf_dir):
+    """F3 (language.rb:45-61): the sentence-state cap scan expressed as
+    two regex counts — a capital is uncounted exactly when only
+    whitespace separates it from the start or the previous '.'
+    (equivalence proven against the char-scan kernel in tests)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    total = F.size(F.regexp_extract_all("text", F.lit("[A-Z]"), 0))
+    uncounted = F.size(
+        F.regexp_extract_all("text", F.lit(r"(^|\.)\s*[A-Z]"), 0)
+    )
+    words = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.select(
+        "doc_id",
+        F.round((total - uncounted).cast("double") / words, 6).alias("cap_ratio"),
+    )
+
+
+@q(
+    "f9_bbox_union",
+    """
+    SELECT l_orderkey,
+           min(l_quantity) AS x1,
+           max(l_quantity + l_discount * 10) AS x2,
+           min(l_extendedprice) AS y1,
+           round(max(l_extendedprice + l_tax * 100), 6) AS y2
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def f9_bbox_union(spark, sf_dir):
+    """F9 (spatial.rb:43-73): bbox union = min of lower corners / max of
+    upper corners per group — least/greatest arithmetic, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.min("l_quantity").alias("x1"),
+        F.max(F.col("l_quantity") + F.col("l_discount") * 10).alias("x2"),
+        F.min("l_extendedprice").alias("y1"),
+        F.round(
+            F.max(F.col("l_extendedprice") + F.col("l_tax") * 100), 6
+        ).alias("y2"),
+    )
+
+
+@q(
+    "w3_ordered_rank",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC)
+             AS rk
+    FROM orders
+    """,
+)
+def w3_ordered_rank(spark, sf_dir):
+    """W1-W3 (sorted insert / output orders): stable total-order ranking
+    within groups — the declarative replacement for the reference's
+    sorted-insert loops."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("rk")
+    )
