@@ -32,6 +32,11 @@ from ..settings import Settings, Typesetter
 
 _PARA_RE = re.compile(r"\n{2,}")
 
+# A paragraph consisting of exactly this marker switches the rest of
+# the document to two-column flow (exercises the scanline column
+# detector, columns.rb:52-83, with genuinely multi-column layouts).
+COLUMN_MARKER = "<<2col>>"
+
 
 @dataclass
 class Line:
@@ -163,16 +168,34 @@ def typeset_lines(text: str, settings: Settings | None = None) -> list[Line]:
     cursor = ts.page_height - ts.margin
     bottom_limit = ts.margin
 
+    # two-column state (activated by a COLUMN_MARKER paragraph):
+    # col = -1 -> single column; 0/1 -> current column index
+    col = -1
+    col_top = cursor  # y where column flow began on this page
+    gutter = 24.0
+    col_width = (ts.usable_width - gutter) / 2.0
+
+    def col_x(c: int) -> float:
+        return ts.margin + c * (col_width + gutter)
+
     def place(content: str, indent: int, size: float, cw: float,
               font: str, leading: float) -> None:
-        nonlocal cursor, page
+        nonlocal cursor, page, col, col_top
         if cursor - size < bottom_limit:
-            page += 1
-            cursor = ts.page_height - ts.margin
+            if col == 0:
+                col = 1
+                cursor = col_top
+            else:
+                page += 1
+                cursor = ts.page_height - ts.margin
+                col_top = cursor
+                if col == 1:
+                    col = 0
+        x0 = ts.margin if col < 0 else col_x(col)
         w = len(content) * cw
         lines.append(
             Line(
-                x=ts.margin + indent * cw,
+                x=x0 + indent * cw,
                 y=cursor - size,
                 width=w,
                 height=size,
@@ -187,6 +210,13 @@ def typeset_lines(text: str, settings: Settings | None = None) -> list[Line]:
         cursor -= leading
 
     for pi, para in enumerate(paras):
+        if para.strip() == COLUMN_MARKER:
+            # switch to two-column flow for the rest of the document
+            if col < 0:
+                cursor -= ts.paragraph_extra
+                col = 0
+                col_top = cursor
+            continue
         if pi > 0:
             cursor -= ts.paragraph_extra
         if pi == 0 and title_first:
@@ -199,6 +229,8 @@ def typeset_lines(text: str, settings: Settings | None = None) -> list[Line]:
                 ts.body_size, body_cw, ts.body_font, ts.body_leading,
                 body_chars,
             )
+        if col >= 0:
+            cpl = max(int(col_width // cw), 2)
         for content, indent, hard in _wrap_paragraph(para, cpl):
             if hard:
                 cursor -= ts.hard_break_extra

@@ -59,25 +59,30 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """MinHash signature as array<string>: for seed s, min over
-    shingles of the first 12 hex chars of md5(shingle || '#' || s).
+CHUNKS_PER_MD5 = 4  # md5's 32 hex chars -> 4 independent 8-hex values
 
-    Fixed-width lowercase hex compares lexicographically == numerically,
-    so the min is the numeric MinHash while staying a string — which
-    makes the value bit-reproducible in any engine with md5 (the DuckDB
-    oracle reproduces it verbatim)."""
+
+def _mh_expr(s: int, shingle_col: Column) -> Column:
+    """MinHash function s over one shingle: 8 hex chars (32 bits) of
+    md5(shingle || '#' || salt), where 4 functions share one md5 call
+    via non-overlapping substrings (md5 output bits are independent).
+
+    Fixed-width lowercase hex compares lexicographically ==
+    numerically, so a string min IS the numeric MinHash — and any
+    md5-equipped engine (the DuckDB oracle) reproduces it verbatim."""
+    salt = s // CHUNKS_PER_MD5
+    off = (s % CHUNKS_PER_MD5) * 8 + 1
+    return F.substring(F.md5(F.concat(shingle_col, F.lit(f"#{salt}"))), off, 8)
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as array<string> (see _mh_expr)."""
     sh = word_shingles(col, k)
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    sh,
-                    lambda x: F.substring(
-                        F.md5(F.concat(x, F.lit(f"#{s}"))), 1, 12
-                    ),
-                )
-            ).alias(f"mh{s}")
+            F.array_min(F.transform(sh, lambda x, s=s: _mh_expr(s, x))).alias(
+                f"mh{s}"
+            )
             for s in range(num_hashes)
         ]
     )
@@ -106,9 +111,7 @@ def minhash_bands(
     )
     mins = sh.groupBy(id_col).agg(
         *[
-            F.min(
-                F.substring(F.md5(F.concat(F.col("sh"), F.lit(f"#{s}"))), 1, 12)
-            ).alias(f"mh{s}")
+            F.min(_mh_expr(s, F.col("sh"))).alias(f"mh{s}")
             for s in range(num_hashes)
         ]
     )
@@ -197,14 +200,17 @@ def simhash(col: Column, bits: int = 16) -> Column:
     to 16 to bound codegen'd expression size; each bit is an integer
     aggregate over the token array, order-independent and exact."""
     tokens = F.split(normalize_text(col), " ")
+    # hash each token ONCE; the per-bit aggregates then only read one
+    # hex nibble each (16 md5s/token -> 1 md5/token)
+    hexes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, bits))
     out = F.lit(0).cast("bigint")
     for j in range(bits):
         bit_sum = F.aggregate(
-            tokens,
+            hexes,
             F.lit(0),
-            lambda acc, t: acc
+            lambda acc, h: acc
             + F.when(
-                F.substring(F.md5(t), j + 1, 1).isin(
+                F.substring(h, j + 1, 1).isin(
                     "8", "9", "a", "b", "c", "d", "e", "f"
                 ),
                 1,

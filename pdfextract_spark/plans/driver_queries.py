@@ -43,6 +43,15 @@ def _ms(spark: SparkSession, col: str):
     return F.unix_millis(F.col(col).cast("timestamp"))
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Rebalance a small-file scan across cores: the sandbox tables are
+    single row-group parquet files (one split), which would serialize
+    per-document hashing work onto one task.  At warehouse scale the
+    input arrives in many splits and this is a no-op decision; the
+    shuffle here moves only the projected columns."""
+    return df.repartition(spark.sparkContext.defaultParallelism * 2)
+
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
@@ -343,8 +352,8 @@ def a4_interval_union_stats(spark, sf_dir):
     SELECT user_id,
            min(epoch_ms(ts)) AS ts_min,
            max(epoch_ms(ts)) AS ts_max,
-           round(min(value), 6) AS v_min,
-           round(max(value), 6) AS v_max
+           round(min(value), 6)::DOUBLE AS v_min,
+           round(max(value), 6)::DOUBLE AS v_max
     FROM events GROUP BY user_id
     """,
 )
@@ -381,7 +390,7 @@ def a6_margins_minmax(spark, sf_dir):
              (CASE WHEN d_size = 0 THEN 6.0
                    ELSE (1 - d_size / mx_size) * 6.0 END) +
              (CASE WHEN d_price = 0 THEN 10.0
-                   ELSE (1 - d_price / mx_price) * 10.0 END), 6) AS score
+                   ELSE (1 - d_price / mx_price) * 10.0 END), 6)::DOUBLE AS score
     FROM m
     """,
 )
@@ -612,7 +621,7 @@ def f1_transliterate(spark, sf_dir):
     SELECT doc_id,
            round(length(regexp_replace(text,
              '[^A-Z0-9\\-\\[\\],."''()]', '', 'g')) * 1.0
-             / length(text), 6) AS letter_ratio
+             / length(text), 6)::DOUBLE AS letter_ratio
     FROM documents WHERE length(text) > 0
     """,
 )
@@ -630,7 +639,7 @@ def f2_letter_ratio(spark, sf_dir):
     SELECT doc_id,
            round(len(list_filter(string_split_regex(trim(text), '\\s+'),
                      x -> regexp_matches(x, '[^\\d]\\d{4}[^\\d]'))) * 1.0
-             / len(string_split_regex(trim(text), '\\s+')), 6) AS year_ratio
+             / len(string_split_regex(trim(text), '\\s+')), 6)::DOUBLE AS year_ratio
     FROM documents WHERE trim(text) <> ''
     """,
 )
@@ -724,7 +733,8 @@ def dedup_exact(spark, sf_dir):
     ),
     sig AS (
       SELECT doc_id,
-             [list_min([substring(md5(s || '#' || seed), 1, 12)
+             [list_min([substring(md5(s || '#' || (seed // 4)),
+                                  (seed % 4) * 8 + 1, 8)
                         for s in shingles])
               for seed in generate_series(0, 15)] AS mh
       FROM sh
@@ -739,7 +749,7 @@ def dedup_minhash_bands(spark, sf_dir):
     (doc, band) with an md5 band key.  Near-dup candidates are then an
     equi-join on (band, band_hash) — shuffle scales with matches, not
     n^2.  Hex-string minhash keeps values engine-portable."""
-    docs = load_table(spark, sf_dir, "documents").where(
+    docs = _spread(spark, load_table(spark, sf_dir, "documents")).where(
         F.size(F.split(dedup.normalize_text(F.col("text")), " ")) >= 3
     )
     return dedup.minhash_bands(docs, num_hashes=16, band_size=4, k=3)
@@ -765,7 +775,7 @@ def dedup_minhash_bands(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """SimHash(16) fingerprint per doc — md5-nibble bit definition is
     engine-portable; near-dups differ in few bits (Hamming join)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", dedup.simhash(F.col("text"), bits=16).alias("fingerprint")
     )
@@ -785,7 +795,7 @@ def dedup_simhash(spark, sf_dir):
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
            round(len(list_intersect(a.s, b.s)) * 1.0 /
-                 len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+                 len(list_distinct(list_concat(a.s, b.s))), 6)::DOUBLE AS jaccard
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
        AND b.doc_id - a.doc_id <= 25
@@ -795,7 +805,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """3-gram Jaccard similarity over blocked pairs (same lang, id
     window) — the exact-verify stage that follows LSH candidate
     generation.  array_intersect/union stay JVM-side."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
         "lang",
@@ -927,7 +937,7 @@ def quality_score(spark, sf_dir):
 def fingerprint_minshingle(spark, sf_dir):
     """Winnowing-style document fingerprint: min md5 prefix over 8-char
     shingles of normalized text (rolling-hash min, engine-portable)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id", dedup.normalize_text(F.col("text")).alias("s")
     ).where(F.length("s") >= 8)
@@ -943,7 +953,7 @@ def fingerprint_minshingle(spark, sf_dir):
     """
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
-           round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4)
+           round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4)::DOUBLE
              AS cos_sim
     FROM embeddings, q
     ORDER BY cos_sim DESC, vec_id ASC
@@ -1041,7 +1051,7 @@ def a1_exact_key_grouping(spark, sf_dir):
     SELECT doc_id,
            round((len(regexp_extract_all(text, '[A-Z]')) -
                   len(regexp_extract_all(text, '(^|\\.)\\s*[A-Z]'))) * 1.0
-                 / len(string_split_regex(trim(text), '\\s+')), 6) AS cap_ratio
+                 / len(string_split_regex(trim(text), '\\s+')), 6)::DOUBLE AS cap_ratio
     FROM documents WHERE trim(text) <> ''
     """,
 )
@@ -1069,7 +1079,7 @@ def f3_cap_ratio(spark, sf_dir):
            min(l_quantity) AS x1,
            max(l_quantity + l_discount * 10) AS x2,
            min(l_extendedprice) AS y1,
-           round(max(l_extendedprice + l_tax * 100), 6) AS y2
+           round(max(l_extendedprice + l_tax * 100), 6)::DOUBLE AS y2
     FROM lineitem GROUP BY l_orderkey
     """,
 )
