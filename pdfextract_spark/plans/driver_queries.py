@@ -1118,3 +1118,165 @@ def w3_ordered_rank(spark, sf_dir):
     return orders.select(
         "o_custkey", "o_orderkey", F.row_number().over(w).alias("rk")
     )
+
+
+# =====================================================================
+# Main-content / near-dup extensions (north_rule: boilerplate strip;
+# build brief: embedding-cosine near-dup)
+# =====================================================================
+
+@q(
+    "boilerplate_strip",
+    """
+    WITH segs AS (
+      SELECT doc_id, source,
+             unnest(string_split(text, '. ')) AS seg
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(seg), '\\s+', ' ', 'g')) AS seg
+      FROM segs
+    ),
+    freq AS (
+      SELECT source, seg, count(DISTINCT doc_id) AS n_docs
+      FROM norm WHERE seg <> '' GROUP BY source, seg
+    ),
+    docs_per_source AS (
+      SELECT source, count(*) AS total FROM documents GROUP BY source
+    ),
+    flagged AS (
+      SELECT n.doc_id, n.seg,
+             (f.n_docs * 1.0 / d.total) >= 0.3 AS is_boiler
+      FROM norm n
+      JOIN freq f ON f.source = n.source AND f.seg = n.seg
+      JOIN docs_per_source d ON d.source = n.source
+      WHERE n.seg <> ''
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_boilerplate
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def boilerplate_strip(spark, sf_dir):
+    """Main-content extraction over plain text (north_rule 'HTML
+    boilerplate strip' analog): a segment is boilerplate when it
+    repeats across >= 30% of its source's documents — the line-frequency
+    rule used by web-corpus content extractors.  Shape: explode ->
+    (source, seg) frequency agg -> broadcast-join back.  The frequency
+    side aggregates to |distinct segments| << corpus size, so the join
+    back is broadcast-eligible at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    segs = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", r"\. ")).alias("raw_seg"),
+    ).select(
+        "doc_id",
+        "source",
+        F.trim(F.regexp_replace(F.lower("raw_seg"), r"\s+", " ")).alias("seg"),
+    ).where(F.col("seg") != "")
+    freq = segs.groupBy("source", "seg").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("total"))
+    flagged = segs.join(F.broadcast(freq), ["source", "seg"]).join(
+        F.broadcast(totals), "source"
+    ).select(
+        "doc_id",
+        ((F.col("n_docs") * 1.0 / F.col("total")) >= 0.3).alias("is_boiler"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias(
+            "n_boilerplate"
+        ),
+    )
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4)::DOUBLE
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (the IVF-style
+    bucket): exact cosine only within blocks, so the join scales with
+    block sizes, not n^2.  (Threshold 0.35 is calibrated to this
+    synthetic embedding table, whose intra-label cosines top out near
+    0.47; real near-dup pipelines use ~0.9.)"""
+    from ..operators.similarity import cosine
+
+    emb = _spread(spark, load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").cast("array<double>").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").cast("array<double>").alias("emb_b"),
+    )
+    pairs = a.join(
+        b, (F.col("label_a") == F.col("label_b")) & (F.col("a") < F.col("b"))
+    )
+    cs = cosine(F.col("emb_a"), F.col("emb_b"))
+    return pairs.where(cs >= 0.35).select(
+        "a", "b", F.round(cs, 4).alias("cos_sim")
+    )
+
+
+@q(
+    "dedup_simhash_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             (SELECT sum(
+                CASE WHEN list_sum([CASE WHEN substring(md5(tok), j + 1, 1)
+                                              IN ('8','9','a','b','c','d','e','f')
+                                         THEN 1 ELSE -1 END
+                                    for tok in tokens]) > 0
+                     THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+              FROM generate_series(0, 15) AS g(j)) AS fp
+      FROM t
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM sh a JOIN sh b
+      ON (a.fp // 256) = (b.fp // 256) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: block on the fingerprint's high byte
+    (any <=3-bit-different pair whose differing bits are all in the low
+    byte collides; a production pipeline unions several byte-rotations
+    for full recall), then verify by exact Hamming distance."""
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    fp = docs.select(
+        "doc_id", dedup.simhash(F.col("text"), bits=16).alias("fp")
+    )
+    a = fp.select(F.col("doc_id").alias("a"), F.col("fp").alias("fp_a"))
+    b = fp.select(F.col("doc_id").alias("b"), F.col("fp").alias("fp_b"))
+    pairs = a.join(
+        b,
+        (F.floor(F.col("fp_a") / 256) == F.floor(F.col("fp_b") / 256))
+        & (F.col("a") < F.col("b")),
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.where(ham <= 3).select(
+        "a", "b", ham.cast("bigint").alias("hamming")
+    )
