@@ -100,7 +100,10 @@ def year_ratio(s: str) -> float:
     words = s.split()
     if not words:
         return float("nan")
-    return sum(1 for w in words if _YEAR_RE.search(w)) / float(len(words))
+    # the pattern needs >= 6 chars; skip shorter words without regexing
+    return sum(
+        1 for w in words if len(w) >= 6 and _YEAR_RE.search(w)
+    ) / float(len(words))
 
 
 # --- F5: word_count (language.rb:77-79) ----------------------------------
@@ -111,6 +114,52 @@ def word_count(s: str) -> int:
 # --- F6: name_ratio (language.rb:73-75 -> names.rb:21-49) ----------------
 def name_ratio(s: str) -> float:
     return name_frequency(s)
+
+
+# --- fused A8 stats (one split, shared across all ratios) -----------------
+_DEL_LETTERS = {ord(c): None for c in
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-[],.\"'()"}
+
+
+def content_stats(content: str) -> dict:
+    """All of A8's per-section stats (sections.rb:76-84) in one pass:
+    letter_ratio, year_ratio, cap_ratio, name_ratio, word_count —
+    splitting the text once and using translate-deletion for the
+    letter count.  Each component equals its standalone function
+    (pinned by tests/test_language_fused.py)."""
+    from .names import _weight
+
+    words = content.split()
+    n_words = len(words)
+    n = len(content)
+
+    letter = (
+        (n - len(content.translate(_DEL_LETTERS))) / n if n else float("nan")
+    )
+
+    if n_words:
+        year = sum(
+            1 for w in words if len(w) >= 6 and _YEAR_RE.search(w)
+        ) / n_words
+        caps = len(_CAP_RE.findall(content))
+        uncounted = len(_CAP_AT_START_RE.findall(content))
+        cap = (caps - uncounted) / n_words
+        total_w = 0.0
+        for w in words:
+            total_w += _weight(w)
+        name = total_w / n_words if total_w else 0.0
+    else:
+        year = float("nan")
+        cap = float("nan")
+        name = 0.0
+
+    return {
+        "letter_ratio": letter,
+        "year_ratio": year,
+        "cap_ratio": cap,
+        "name_ratio": name,
+        "word_count": n_words,
+    }
 
 
 # --- F7: hyphenation-aware line concat (spatial.rb:98-112) ---------------

@@ -39,31 +39,52 @@ def _append_line_spacing(region: dict) -> None:
         height_taken = from_top + line["height"]
 
 
+def _text_len(obj: dict) -> int:
+    """len(spatial.get_text_content(obj)) without building the string:
+    line contents carry no edge whitespace (both the typeset fast path
+    and the char-merge kernel produce stripped, single-spaced content),
+    so the hyphen-join length is a simple sum with the final trailing
+    separator stripped (spatial.rb:98-112)."""
+    lines = obj["lines"]
+    total = 0
+    for line in lines:
+        c = line["content"]
+        total += len(c) - 1 if c.endswith("-") else len(c) + 1
+    if lines and not lines[-1]["content"].endswith("-"):
+        total -= 1  # the strip of the trailing ' '
+    return max(total, 0)
+
+
 def regions_for_page(chunks: list[dict], settings: Settings) -> list[dict]:
     """Exact replication of regions.rb:50-112 for one page's chunks
     (given in emission order).
 
     The merge loop is inherently sequential (compare_index backtracks
     to 1 after every merge, regions.rb:85-87); n = lines per page is
-    small so the O(n^2) worst case is bounded per turn.
+    small so the O(n^2) worst case is bounded per turn.  The merge
+    itself is done in place (bbox update + line concat + the
+    longer-text font/line_height rule of spatial.rb:43-73) instead of
+    through dict-copying Spatial.merge — observationally identical,
+    pinned by the frozen goldens and the char-kernel parity tests.
     """
     if not chunks:
         return []
     line_slop = settings.line_slop
 
-    # ascending-y insert: before the first element with obj.y >= chunk.y
-    ordered: list[dict] = []
-    for c in chunks:
-        idx = next((i for i, obj in enumerate(ordered) if c["y"] <= obj["y"]), None)
-        if idx is None:
-            ordered.append(dict(c))
-        else:
-            ordered.insert(idx, dict(c))
+    # ascending-y order; the reference's sorted insert puts ties
+    # NEWEST-first (insert before the first obj with obj.y >= chunk.y),
+    # replicated with a stable sort on (y, -arrival index).
+    ordered = [dict(c) for c in chunks]
+    for i, c in enumerate(ordered):
+        c["_arr"] = i
+    ordered.sort(key=lambda c: (c["y"], -c["_arr"]))
 
     # convert chunks to line-content carriers (regions.rb:70-74)
     for c in ordered:
+        c.pop("_arr")
         c["lines"] = [spatial.as_line(c)]
         c.pop("content", None)
+        c["_tlen"] = _text_len(c)
 
     regions: list[dict] = []
     compare_index = 1
@@ -76,7 +97,29 @@ def regions_for_page(chunks: list[dict], settings: Settings) -> list[dict]:
         incident_y = (b["y"] + b["height"] + slop) >= t["y"]
 
         if incident_y and _incident(t, b):
-            ordered[0] = spatial.merge(t, b, lines=True)
+            # in-place Spatial.merge(t, b, lines=True):
+            # bbox union; lines = t.lines + b.lines; font/line_height
+            # from the longer text side (ties -> b, the accumulator)
+            blx = t["x"] if t["x"] < b["x"] else b["x"]
+            bly = t["y"] if t["y"] < b["y"] else b["y"]
+            trx = max(t["x"] + t["width"], b["x"] + b["width"])
+            try_ = max(t["y"] + t["height"], b["y"] + b["height"])
+            if t["_tlen"] > b["_tlen"]:
+                b["font"] = t["font"]
+                b["line_height"] = t["line_height"]
+            b["x"] = blx
+            b["y"] = bly
+            b["width"] = trx - blx
+            b["height"] = try_ - bly
+            b["lines"] = t["lines"] + b["lines"]
+            # incremental text length: t's lines are prepended, so the
+            # trailing-strip (already folded into b's cached length)
+            # is unaffected; each prepended line adds len±1.
+            add = 0
+            for line in t["lines"]:
+                c = line["content"]
+                add += len(c) - 1 if c.endswith("-") else len(c) + 1
+            b["_tlen"] += add
             del ordered[compare_index]
             compare_index = 1
         elif compare_index < len(ordered) - 1:
@@ -87,6 +130,8 @@ def regions_for_page(chunks: list[dict], settings: Settings) -> list[dict]:
             compare_index = 1
     if ordered:
         regions.append(ordered[0])
+    for region in regions:
+        region.pop("_tlen", None)
 
     for region in regions:
         _append_line_offsets(region)

@@ -118,14 +118,10 @@ def sections_for_doc(
     for section in sections:
         last_page = section["components"][-1]["page"]
         content = spatial.get_text_content(section)
-        stats = {
-            "letter_ratio": language.letter_ratio(content),
-            "year_ratio": language.year_ratio(content),
-            "cap_ratio": language.cap_ratio(content),
-            "name_ratio": language.name_ratio(content),
-            "word_count": language.word_count(content),
-            "lateness": last_page / float(page_count) if page_count else float("nan"),
-        }
+        stats = language.content_stats(content)
+        stats["lateness"] = (
+            last_page / float(page_count) if page_count else float("nan")
+        )
         s = spatial.drop_spatial(section)
         s.update(stats)
         out.append(s)
