@@ -4,10 +4,10 @@ Builds the ``(conv_id, turn_idx, role, text, tool, ts)`` transcript
 table from the driver's ``documents`` parquet — deterministically (no
 RNG, no wall clock), entirely inside Spark so generation scales with
 the input.  Each document row fans out into ``turns_per_doc`` turns;
-every turn's text is decorated into one of 8 scenarios (FIXTURES.md §3)
+every turn's text is decorated into one of 9 scenarios (FIXTURES.md §3)
 that exercise specific reference behaviors: titles, numbered refs,
 hanging-indent refs, spacing-split refs, ligatures, name-dense text,
-ref-header noise, and plain paragraphs.
+ref-header noise, plain paragraphs, and two-column papers.
 
 The fan-out (explode of a per-row sequence) and the key derivations
 are pure Catalyst expressions; only the final text templating runs in
@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..core.names import NAME_ROWS
 
-_SCENARIOS = 8
+_SCENARIOS = 9
 _NAMES = [n for n, amb in NAME_ROWS if not amb]
 
 _OUT_SCHEMA = (
@@ -89,10 +89,17 @@ def _decorate(doc_words: list[str], seq: int, scenario: int) -> str:
             for i in range(12)
         )
         return f"{title}\n\n{dense}\n\n{body2}"
-    # scenario 7: ref-header noise + year trap in body
+    if scenario == 7:  # ref-header noise + year trap in body
+        return (
+            f"{title}\n\n{body1} (1987) and (1992) appear here.\n\n"
+            f"References\n\n{numbered_refs(4)}"
+        )
+    # scenario 8: two-column paper with numbered refs (typeset.COLUMN_MARKER
+    # flows the body into two columns; exercises scanline detection and
+    # the per-column section sweep at scale)
     return (
-        f"{title}\n\n{body1} (1987) and (1992) appear here.\n\n"
-        f"References\n\n{numbered_refs(4)}"
+        f"{title}\n\n<<2col>>\n\n{words(160, seq % 5)}\n\n"
+        f"{words(150, seq % 9 + 2)}\n\nReferences\n\n{numbered_refs(5)}"
     )
 
 

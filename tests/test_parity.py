@@ -76,3 +76,29 @@ def test_typeset_deterministic():
     a = [vars(l) for l in typeset_lines(text, DEFAULT)]
     b = [vars(l) for l in typeset_lines(text, DEFAULT)]
     assert a == b
+
+
+# --- hypothesis fuzz: fastpath == char kernel on arbitrary structured text
+from hypothesis import given, settings as hsettings
+from hypothesis import strategies as st
+
+_word = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNO0123456789().,[]-",
+    min_size=1,
+    max_size=10,
+)
+_para = st.lists(_word, min_size=1, max_size=60).map(" ".join)
+_doc = st.lists(_para, min_size=1, max_size=5).map("\n\n".join)
+
+
+@hsettings(max_examples=40, deadline=None)
+@given(_doc)
+def test_fastpath_parity_fuzz(text):
+    fast = extract_turn(text, DEFAULT, chars=False,
+                        want=("chunks", "regions", "references", "titles"))
+    slow = extract_turn(text, DEFAULT, chars=True,
+                        want=("chunks", "regions", "references", "titles"))
+    assert fast["chunks"] == slow["chunks"]
+    assert fast["regions"] == slow["regions"]
+    assert fast["title"] == slow["title"]
+    assert fast["references"] == slow["references"]
