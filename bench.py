@@ -83,8 +83,16 @@ def run_extraction(spark, sf_dir: str, turns_per_doc: int):
         "overwrite"
     ).save()
     dt = time.time() - t0
+
+    # references+title projection (S8): the slimmer output row is the
+    # configuration a refs-harvesting pipeline would run
+    t0 = time.time()
+    extract(
+        t, repartition=max(cores * 4, 32), want=("references", "title")
+    ).write.format("noop").mode("overwrite").save()
+    dt_refs = time.time() - t0
     t.unpersist()
-    return n, dt, n / dt
+    return n, dt, n / dt, dt_refs
 
 
 def main() -> None:
@@ -102,8 +110,9 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    n_turns, ext_sec, tps = run_extraction(spark, sf_dir, turns_per_doc)
+    n_turns, ext_sec, tps, refs_sec = run_extraction(spark, sf_dir, turns_per_doc)
     queries["extract_pipeline"] = round(ext_sec, 3)
+    queries["extract_refs_only"] = round(refs_sec, 3)
 
     if not extract_only:
         from pdfextract_spark.plans.driver_queries import QUERIES

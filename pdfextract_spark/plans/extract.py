@@ -209,11 +209,15 @@ def _section_row(s: dict, content: str, rnd=_ident, tx=_ident) -> dict:
     }
 
 
+ARTIFACT_FIELDS = ("title", "regions", "zones", "columns", "sections", "references")
+
+
 def extract(
     df: DataFrame,
     settings: Settings = DEFAULT,
     rendered: bool = True,
     repartition: int | None = None,
+    want: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, ...) -> one result row
     per turn with nested extraction artifacts.
@@ -221,8 +225,23 @@ def extract(
     ``rendered=True`` applies the canonical sink transform (2-dp
     rounding + transliteration, xml_view.rb:24-29/92-94) so outputs
     are fixture-comparable.
+
+    ``want`` projects the OUTPUT to a subset of artifact columns
+    (SURVEY.md S8, the reference's explicit-only rendering): the
+    kernel's cost is turn-local either way, but serializing the full
+    nested row costs ~4x a references-only row, so consumers that read
+    one artifact should ask for just it.
     """
     from ..core.spatial import get_text_content
+
+    selected = ARTIFACT_FIELDS if want is None else tuple(want)
+    schema = StructType(
+        [
+            f
+            for f in RESULT_SCHEMA.fields
+            if f.name not in ARTIFACT_FIELDS or f.name in selected
+        ]
+    )
 
     src = df.select("conv_id", "turn_idx", "role", "text")
     if repartition:
@@ -235,7 +254,7 @@ def extract(
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    arrow_schema = to_arrow_schema(RESULT_SCHEMA)
+    arrow_schema = to_arrow_schema(schema)
 
     def run(batches):
         """Arrow-native stage: consume pyarrow RecordBatches, run the
@@ -249,64 +268,70 @@ def extract(
             tx = transliterate
         else:
             rnd = tx = _ident
+        kernel_want = tuple(
+            {"title": "titles"}.get(k, k) for k in selected
+        )
         for batch in batches:
             pdf = batch.to_pydict()
             rows = []
             for conv_id, turn_idx, role, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"]
             ):
-                res = extract_turn(text or "", settings)
-                secs = []
-                for s in res.get("sections") or []:
-                    content = get_text_content(s)
-                    secs.append(_section_row(s, content, rnd, tx))
-                title = res.get("title")
-                if title is not None:
-                    title = {
-                        "content": tx(title["content"]),
-                        "line_height": rnd(title["line_height"]),
-                        "font": title["font"],
-                    }
-                rows.append(
-                    {
-                        "conv_id": conv_id,
-                        "turn_idx": int(turn_idx),
-                        "role": role,
-                        "page_count": res["page_count"],
-                        "title": title,
-                        "regions": [
-                            _region_row(r, rnd, tx)
-                            for r in res.get("regions") or []
-                        ],
-                        "zones": [
-                            {
-                                "zone": z["group"],
-                                "x": rnd(z["x"]),
-                                "y": rnd(z["y"]),
-                                "width": rnd(z["width"]),
-                                "height": rnd(z["height"]),
-                                "page": z["page"],
-                            }
-                            for z in res.get("zones") or []
-                        ],
-                        "columns": [
-                            {
-                                "x": rnd(c["x"]),
-                                "y": rnd(c["y"]),
-                                "width": rnd(c["width"]),
-                                "height": rnd(c["height"]),
-                                "page": c["page"],
-                            }
-                            for c in res.get("columns") or []
-                        ],
-                        "sections": secs,
-                        "references": [
-                            {"content": tx(r["content"]), "order": r.get("order")}
-                            for r in res.get("references") or []
-                        ],
-                        "metrics": res["metrics"],
-                    }
-                )
+                res = extract_turn(text or "", settings, want=kernel_want)
+                row = {
+                    "conv_id": conv_id,
+                    "turn_idx": int(turn_idx),
+                    "role": role,
+                    "page_count": res["page_count"],
+                    "metrics": res["metrics"],
+                }
+                if "title" in selected:
+                    title = res.get("title")
+                    if title is not None:
+                        title = {
+                            "content": tx(title["content"]),
+                            "line_height": rnd(title["line_height"]),
+                            "font": title["font"],
+                        }
+                    row["title"] = title
+                if "regions" in selected:
+                    row["regions"] = [
+                        _region_row(r, rnd, tx) for r in res.get("regions") or []
+                    ]
+                if "zones" in selected:
+                    row["zones"] = [
+                        {
+                            "zone": z["group"],
+                            "x": rnd(z["x"]),
+                            "y": rnd(z["y"]),
+                            "width": rnd(z["width"]),
+                            "height": rnd(z["height"]),
+                            "page": z["page"],
+                        }
+                        for z in res.get("zones") or []
+                    ]
+                if "columns" in selected:
+                    row["columns"] = [
+                        {
+                            "x": rnd(c["x"]),
+                            "y": rnd(c["y"]),
+                            "width": rnd(c["width"]),
+                            "height": rnd(c["height"]),
+                            "page": c["page"],
+                        }
+                        for c in res.get("columns") or []
+                    ]
+                if "sections" in selected:
+                    row["sections"] = [
+                        _section_row(s, get_text_content(s), rnd, tx)
+                        for s in res.get("sections") or []
+                    ]
+                if "references" in selected:
+                    row["references"] = [
+                        {"content": tx(r["content"]), "order": r.get("order")}
+                        for r in res.get("references") or []
+                    ]
+                rows.append(row)
             arrays = [
                 pa.array(
                     [r[field.name] for r in rows], type=field.type
@@ -315,18 +340,20 @@ def extract(
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
-    return src.mapInArrow(run, schema=RESULT_SCHEMA)
+    return src.mapInArrow(run, schema=schema)
 
 
 def extract_exploded(df: DataFrame, artifact: str, **kw) -> DataFrame:
     """Convenience: one row per extracted artifact (region / section /
     reference / zone / column), keyed by (conv_id, turn_idx).  Pure
-    Catalyst explode over the nested plan output — no extra UDF work."""
-    res = extract(df, **kw)
+    Catalyst explode over the nested plan output — and the plan only
+    computes/serializes the requested artifact (S8 projection)."""
     if artifact == "titles":
+        res = extract(df, want=("title",), **kw)
         return res.select(
             "conv_id", "turn_idx", "title.*"
         ).where(F.col("content").isNotNull())
+    res = extract(df, want=(artifact,), **kw)
     return res.select(
         "conv_id",
         "turn_idx",
