@@ -29,6 +29,7 @@ import re
 from dataclasses import dataclass
 
 from ..settings import Settings, Typesetter
+from .fontmetrics import BY_NAME, SPACE_UNITS, FontMetrics, width_units
 
 _PARA_RE = re.compile(r"\n{2,}")
 
@@ -77,61 +78,81 @@ class Char:
 
 
 def _wrap_paragraph(
-    para: str, chars_per_line: int
+    para: str, avail_units: int, fm: FontMetrics
 ) -> list[tuple[str, int, float]]:
-    """-> list of (line_text, indent_chars, extra_gap_flag) entries.
+    """-> list of (line_text, indent_units, extra_gap_flag) entries.
 
     Splits the paragraph at hard breaks, preserving leading-space
-    indents, then greedily wraps each logical line.  Returns
-    (content, indent_chars, extra_gap) where extra_gap is 1.0 for lines
-    that start after an explicit hard break (other than the first).
+    indents, then greedily wraps each logical line by MEASURED width
+    (per-glyph metrics, S3) in integer milli-em units — exact
+    arithmetic, no float drift.  extra_gap is 1.0 for lines that start
+    after an explicit hard break (other than the first).
     """
+    mono = not fm.proportional
+
+    def w_units(word: str) -> int:
+        return 500 * len(word) if mono else sum(
+            width_units(c) for c in word
+        )
+
     out: list[tuple[str, int, float]] = []
     for i, logical in enumerate(para.split("\n")):
         stripped = logical.lstrip(" ")
-        indent = len(logical) - len(stripped)
-        indent = min(indent, max(chars_per_line - 2, 0))
+        n_indent = len(logical) - len(stripped)
+        indent = min(n_indent * SPACE_UNITS, max(avail_units - 1000, 0))
         words = stripped.split()
         hard = 1.0 if i > 0 else 0.0
         if not words:
             continue
-        avail = chars_per_line - indent
+        avail = avail_units - indent
         cur: list[str] = []
-        cur_len = 0
+        cur_w = 0
         first_of_logical = True
 
         def flush() -> None:
-            nonlocal cur, cur_len, first_of_logical, hard
+            nonlocal cur, cur_w, first_of_logical
             if cur:
-                out.append((" ".join(cur), indent, hard if first_of_logical else 0.0))
+                out.append(
+                    (" ".join(cur), indent, hard if first_of_logical else 0.0)
+                )
                 first_of_logical = False
                 cur = []
-                cur_len = 0
+                cur_w = 0
 
-        for w in words:
-            need = len(w) if not cur else cur_len + 1 + len(w)
+        hyphen_w = width_units("-") if not mono else 500
+        for word in words:
+            ww = w_units(word)
+            need = ww if not cur else cur_w + SPACE_UNITS + ww
             if need <= avail:
-                cur.append(w)
-                cur_len = need
+                cur.append(word)
+                cur_w = need
                 continue
-            # w does not fit on the current line
-            if len(w) <= avail:
+            # word does not fit on the current line
+            if ww <= avail:
                 flush()
-                cur = [w]
-                cur_len = len(w)
+                cur = [word]
+                cur_w = ww
                 continue
-            # word longer than a full line: hyphen-split it
-            rest = w
-            while len(rest) > avail:
-                space_left = avail - cur_len - (1 if cur else 0)
-                if space_left >= 2:
-                    head = rest[: space_left - 1] + "-"
-                    cur.append(head)
-                    cur_len = avail
-                    rest = rest[space_left - 1 :]
+            # word wider than a full line: hyphen-split by width
+            rest = word
+            while w_units(rest) > avail:
+                space_left = avail - cur_w - (SPACE_UNITS if cur else 0)
+                # take glyphs while head + '-' still fits
+                taken = 0
+                used = hyphen_w
+                for ch in rest:
+                    cw = 500 if mono else width_units(ch)
+                    if used + cw > space_left:
+                        break
+                    used += cw
+                    taken += 1
+                if taken >= 1:
+                    cur.append(rest[:taken] + "-")
+                    cur_w = avail  # force wrap
+                    rest = rest[taken:]
                 flush()
             cur = [rest] if rest else []
-            cur_len = len(rest)
+            cur_w = w_units(rest)
         flush()
     return out
 
@@ -157,10 +178,8 @@ def typeset_lines(text: str, settings: Settings | None = None) -> list[Line]:
         return []
 
     title_first = _is_title_para(paras, ts)
-    body_cw = ts.char_width(ts.body_size)
-    body_chars = int(ts.usable_width // body_cw)
-    title_cw = ts.char_width(ts.title_size)
-    title_chars = int(ts.usable_width // title_cw)
+    body_fm = BY_NAME[ts.body_font]
+    title_fm = BY_NAME[ts.title_font]
 
     lines: list[Line] = []
     page = 1
@@ -178,8 +197,8 @@ def typeset_lines(text: str, settings: Settings | None = None) -> list[Line]:
     def col_x(c: int) -> float:
         return ts.margin + c * (col_width + gutter)
 
-    def place(content: str, indent: int, size: float, cw: float,
-              font: str, leading: float) -> None:
+    def place(content: str, indent_units: int, size: float,
+              fm: FontMetrics, font: str, leading: float) -> None:
         nonlocal cursor, page, col, col_top
         if cursor - size < bottom_limit:
             if col == 0:
@@ -192,12 +211,11 @@ def typeset_lines(text: str, settings: Settings | None = None) -> list[Line]:
                 if col == 1:
                     col = 0
         x0 = ts.margin if col < 0 else col_x(col)
-        w = len(content) * cw
         lines.append(
             Line(
-                x=x0 + indent * cw,
+                x=x0 + indent_units * size / 1000.0,
                 y=cursor - size,
-                width=w,
+                width=fm.text_width(content, size),
                 height=size,
                 line_height=size,
                 content=content,
@@ -220,28 +238,29 @@ def typeset_lines(text: str, settings: Settings | None = None) -> list[Line]:
         if pi > 0:
             cursor -= ts.paragraph_extra
         if pi == 0 and title_first:
-            size, cw, font, leading, cpl = (
-                ts.title_size, title_cw, ts.title_font, ts.title_leading,
-                title_chars,
+            size, fm, font, leading = (
+                ts.title_size, title_fm, ts.title_font, ts.title_leading,
             )
         else:
-            size, cw, font, leading, cpl = (
-                ts.body_size, body_cw, ts.body_font, ts.body_leading,
-                body_chars,
+            size, fm, font, leading = (
+                ts.body_size, body_fm, ts.body_font, ts.body_leading,
             )
-        if col >= 0:
-            cpl = max(int(col_width // cw), 2)
-        for content, indent, hard in _wrap_paragraph(para, cpl):
+        # usable width in milli-em units of this face's size
+        width_pts = ts.usable_width if col < 0 else col_width
+        avail_units = int(width_pts * 1000.0 // size)
+        for content, indent_units, hard in _wrap_paragraph(
+            para, avail_units, fm
+        ):
             if hard:
                 cursor -= ts.hard_break_extra
-            place(content, indent, size, cw, font, leading)
+            place(content, indent_units, size, fm, font, leading)
 
     # per-page footer (below the body margin)
     n_pages = lines[-1].page if lines else 0
-    f_cw = ts.char_width(ts.footer_size)
+    f_fm = BY_NAME[ts.footer_font]
     for p in range(1, n_pages + 1):
         content = f"p. {p}"
-        w = len(content) * f_cw
+        w = f_fm.text_width(content, ts.footer_size)
         lines.append(
             Line(
                 x=(ts.page_width - w) / 2.0,
@@ -271,9 +290,10 @@ def typeset_chars(text: str, settings: Settings | None = None) -> list[Char]:
     st = settings or Settings()
     out: list[Char] = []
     for ln in typeset_lines(text, st):
-        cw = ln.width / len(ln.content) if ln.content else 0.0
+        fm = BY_NAME[ln.font]
         x = ln.x
         for ch in ln.content:
+            cw = fm.char_width(ch, ln.height)
             if ch != " ":
                 out.append(
                     Char(
