@@ -1,0 +1,132 @@
+"""CLI entry point — the reference's ``bin/pdf-extract`` surface
+re-expressed for transcript tables (bin/pdf-extract:58-133).
+
+    python -m pdfextract_spark extract --references --titles \\
+        --input /path/transcripts.parquet --output /tmp/out \\
+        --set min_sequence_count=4 --set title_slop=0.3
+
+- artifact flags (--regions --zones --columns --sections --titles
+  --references) mirror the reference CLI's $chosen_objects; when none
+  is given, all artifacts are extracted
+- --set NAME=VALUE mirrors the reference's settings overrides
+  (bin/pdf-extract:93-100), applied over the declared defaults
+- --as xml renders per-turn XML (view/xml_view.rb shape) instead of
+  the columnar table
+- --synth-from SF_DIR synthesizes the deterministic transcript table
+  from a documents.parquet directory instead of reading --input
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from .settings import DEFAULT, Settings
+
+ARTIFACTS = ("regions", "zones", "columns", "sections", "titles", "references")
+
+
+def apply_overrides(settings: Settings, pairs: list[str]) -> Settings:
+    """--set name=value with type coercion from the declared default
+    (the reference's Settings.declare/override, pdf.rb:5-50)."""
+    kv = {}
+    for pair in pairs:
+        name, _, raw = pair.partition("=")
+        if not hasattr(settings, name):
+            known = [f.name for f in dataclasses.fields(Settings)]
+            raise SystemExit(f"unknown setting {name!r}; known: {known}")
+        cur = getattr(settings, name)
+        kv[name] = type(cur)(raw) if not isinstance(cur, bool) else raw == "true"
+    return dataclasses.replace(settings, **kv)
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="pdfextract_spark")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    ex = sub.add_parser("extract", help="run the extraction pipeline")
+    for a in ARTIFACTS:
+        ex.add_argument(f"--{a}", action="store_true")
+    ex.add_argument("--input", help="transcripts parquet path")
+    ex.add_argument("--synth-from", help="sf dir with documents.parquet")
+    ex.add_argument("--output", required=True)
+    ex.add_argument("--as", dest="render_as", choices=["table", "xml"],
+                    default="table")
+    ex.add_argument("--set", dest="overrides", action="append", default=[])
+    ex.add_argument("--master", default="local[*]")
+    ex.add_argument("--buckets", type=int, default=0,
+                    help="checkpointed/resumable bucketed run")
+
+    args = ap.parse_args(argv)
+    settings = apply_overrides(DEFAULT, args.overrides)
+    chosen = tuple(a for a in ARTIFACTS if getattr(args, a))
+    want = tuple({"titles": "title"}.get(a, a) for a in chosen) or None
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("pdfextract-spark-cli")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synth_from:
+        from .sources import synth_transcripts
+
+        transcripts = synth_transcripts(spark, args.synth_from)
+    elif args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        raise SystemExit("one of --input / --synth-from is required")
+
+    if args.render_as == "xml":
+        from .core import extract_turn
+        from .core.xmlview import render_turn_xml
+
+        kernel_want = tuple(chosen) or ARTIFACTS
+
+        def to_xml(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "conv_id": pdf["conv_id"],
+                        "turn_idx": pdf["turn_idx"],
+                        "xml": [
+                            render_turn_xml(
+                                extract_turn(t or "", settings, want=kernel_want),
+                                settings,
+                            )
+                            for t in pdf["text"]
+                        ],
+                    }
+                )
+
+        out = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+            to_xml, schema="conv_id string, turn_idx int, xml string"
+        )
+        out.write.mode("overwrite").parquet(args.output)
+    elif args.buckets:
+        from .sinks import run_extraction_job
+
+        run_extraction_job(
+            spark, transcripts, args.output, settings,
+            n_buckets=args.buckets, resume=True,
+        )
+    else:
+        from .plans.extract import extract
+
+        extract(transcripts, settings, want=want).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"wrote {n} rows to {args.output}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

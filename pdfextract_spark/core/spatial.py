@@ -104,6 +104,26 @@ def contains(a: dict, b: dict, padding: float = 0.0) -> bool:
     return b_x1 >= a_x1 and b_x2 <= a_x2 and b_y1 >= a_y1 and b_y2 <= a_y2
 
 
+def collapse(objs: list[dict]) -> dict:
+    """spatial.rb:116-133 (SURVEY.md W8): fold a list of objects into
+    one in left-to-right write order — sort by
+    ``-(floor(y)*100) + x/100`` then pairwise merge.
+
+    Note: the reference's version is dead code (never called; it
+    references an undefined ``write_mode`` and discards each merge's
+    return value).  This is the intended semantics per its docstring,
+    provided as a working utility."""
+    ordered = sorted(
+        objs, key=lambda o: -(float(int(o["y"] // 1)) * 100) + o["x"] / 100.0
+    )
+    if len(ordered) == 1:
+        return dict(ordered[0])
+    acc = dict(ordered[0])
+    for o in ordered[1:]:
+        acc = merge(acc, o)
+    return acc
+
+
 def score(items: list[dict], ideals: dict[str, tuple[float, float]], name: str) -> None:
     """spatial.rb:156-175 — ideal-vector scoring (SURVEY.md A9).
 

@@ -141,3 +141,18 @@ def test_region_x_incidence_required():
     cs = [line(72, 100, 100, "left"), line(300, 113, 100, "right")]
     regs = regions_for_page(cs, DEFAULT)
     assert len(regs) == 2
+
+
+def test_collapse_write_order():
+    # W8 (spatial.rb:116-133): fold in left-to-right, top-to-bottom order
+    from pdfextract_spark.core.spatial import collapse
+
+    objs = [
+        ch(100, 100, content="world"),
+        ch(0, 100, content="hello"),
+        ch(0, 200, content="top"),
+    ]
+    out = collapse(objs)
+    assert out["content"] == "tophelloworld"
+    assert out["x"] == 0 and out["y"] == 100
+    assert out["width"] == 105 and out["height"] == 110
