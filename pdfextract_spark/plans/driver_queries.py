@@ -1280,3 +1280,22 @@ def dedup_simhash_pairs(spark, sf_dir):
     return pairs.where(ham <= 3).select(
         "a", "b", ham.cast("bigint").alias("hamming")
     )
+
+
+@q("pipeline_sections")
+def pipeline_sections(spark, sf_dir):
+    """Full extraction -> per-section rows with stats + scores (A7-A9
+    composite; rows-only)."""
+    from .extract import extract_exploded
+
+    return extract_exploded(_transcripts(spark, sf_dir), "sections").drop(
+        "lines", "components"
+    )
+
+
+@q("pipeline_zones")
+def pipeline_zones(spark, sf_dir):
+    """Full extraction -> per-zone rows (T3/T4 composite; rows-only)."""
+    from .extract import extract_exploded
+
+    return extract_exploded(_transcripts(spark, sf_dir), "zones")
