@@ -124,3 +124,29 @@ def test_streaming_extraction(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 4
     assert "references" in got.columns
+
+
+def test_extraction_invariant_under_partitioning(spark):
+    """Results are a pure function of each row: identical under any
+    physical distribution (the determinism the north rule's 'stable
+    turn ordering' requires)."""
+    from pdfextract_spark.plans import extract
+
+    t = make_transcripts(spark)
+
+    def canon(df):
+        rows = extract(df, want=("references", "title")).collect()
+        return sorted(
+            (r["conv_id"], r["turn_idx"], str(r["title"]), str(r["references"]))
+            for r in rows
+        )
+
+    assert canon(t.repartition(1)) == canon(t.repartition(7))
+
+
+def test_synth_transcripts_deterministic(spark):
+    from pdfextract_spark.sources import synth_transcripts
+
+    a = sorted(map(str, synth_transcripts(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(str, synth_transcripts(spark, "/root/testdata/sf0.001").collect()))
+    assert a == b
