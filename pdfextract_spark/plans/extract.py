@@ -4,7 +4,7 @@ Every stage of the reference pipeline is page/document-local
 (pdf.rb:127-162) and a turn plays the role of a document, so the whole
 chars -> chunks -> regions -> margins -> zones -> columns -> sections
 -> titles -> references cascade is a pure function of one row's text.
-The plan is therefore a single narrow ``mapInPandas`` over the
+The plan is therefore a single narrow ``mapInArrow`` over the
 transcript table: **zero shuffles**, no driver collection, perfectly
 linear scaling with executors.  Explicit ``repartition`` by
 ``xxhash64(conv_id, turn_idx)`` balances input splits when the source
@@ -18,7 +18,6 @@ drift — SURVEY.md §4).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
