@@ -115,7 +115,22 @@ def main() -> None:
     queries["extract_refs_only"] = round(refs_sec, 3)
 
     if not extract_only:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
         from pdfextract_spark.plans.driver_queries import QUERIES
+
+        # JIT/codegen warm-up for the operator paths (hash agg, window,
+        # exchange, md5 expr) so the first timed query doesn't absorb
+        # one-time JVM compilation
+        warm = (
+            spark.range(200_000)
+            .select((F.col("id") % 97).alias("k"), F.md5(F.col("id").cast("string")).alias("h"))
+            .groupBy("k")
+            .agg(F.count("*"), F.min("h"), F.max("h"))
+            .withColumn("rk", F.row_number().over(Window.partitionBy().orderBy("k")))
+        )
+        warm.write.format("noop").mode("overwrite").save()
 
         for name in BENCH_QUERIES:
             t0 = time.time()

@@ -715,7 +715,7 @@ def f7_hyphen_join(spark, sf_dir):
 def dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on normalized text, canonical winner =
     min id.  One shuffle, partial-aggregated."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     return dedup.exact_dedup(docs)
 
 
