@@ -714,8 +714,13 @@ def f7_hyphen_join(spark, sf_dir):
 )
 def dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on normalized text, canonical winner =
-    min id.  One shuffle, partial-aggregated."""
-    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    min id.  The md5 projection runs in the scan stage (no pre-spread),
+    so the single shuffle moves only (doc_id, 32-char hash) — at 100 TB
+    that shuffle is ~1-2% of spreading full text first, and the groupBy
+    partial-aggregates map-side.  (Heavier per-doc transforms like
+    minhash DO pre-spread: there compute dominates the one-time text
+    shuffle on this single-split sandbox input.)"""
+    docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs)
 
 
@@ -1299,3 +1304,324 @@ def pipeline_zones(spark, sf_dir):
     from .extract import extract_exploded
 
     return extract_exploded(_transcripts(spark, sf_dir), "zones")
+
+
+# =====================================================================
+# Coverage upgrades: A3 / W8 / F10 / F6 exact oracles, multimodal, IVF
+# =====================================================================
+
+@q(
+    "a3_overlap_merge",
+    """
+    WITH r AS (
+      SELECT l_orderkey * 10 + l_linenumber AS rid,
+             l_orderkey % 97 AS page,
+             (l_linenumber * 100.0)::DOUBLE AS x,
+             (l_partkey % 30)::DOUBLE AS y,
+             (5 + l_suppkey % 10)::DOUBLE AS h
+      FROM lineitem
+    ),
+    lagged AS (
+      SELECT *, lag(y) OVER w AS py, lag(h) OVER w AS ph
+      FROM r WINDOW w AS (PARTITION BY page ORDER BY x, rid, y, h)
+    ),
+    flagged AS (
+      SELECT *,
+        CASE WHEN py IS NULL THEN 1
+             WHEN greatest(0.0, least(y + h, py + ph) - greatest(y, py))
+                  / least(h, ph) >= 0.9 THEN 0
+             ELSE 1 END AS flag
+      FROM lagged
+    ),
+    isl AS (
+      SELECT *, sum(flag) OVER (PARTITION BY page ORDER BY x, rid, y, h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT page, island, count(*) AS members,
+           min(x) AS x0, round(min(y), 6) AS y0, round(max(y + h), 6) AS y1
+    FROM isl GROUP BY page, island
+    """,
+)
+def a3_overlap_merge(spark, sf_dir):
+    """A3 (chunks.rb:85-107): cross-row overlap merge as a pure-SQL
+    islands pass — lag the previous bbox in x-order, flag y-overlap
+    ratio < overlap_slop (0.9) as an island start, cumsum ids, merge
+    per island with the F9 bbox union.  One shuffle on page; all window
+    arithmetic stays in whole-stage codegen.  (The reference's exact
+    sequential pairwise variant lives in core/chunks.py and is pinned
+    by test_overlap_merge_cross_rows; this is the scalable form.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        (F.col("l_orderkey") % 97).alias("page"),
+        (F.col("l_linenumber") * 100.0).alias("x"),
+        (F.col("l_partkey") % 30).cast("double").alias("y"),
+        (F.col("l_suppkey") % 10 + 5).cast("double").alias("h"),
+    )
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    # rid alone is not a total order; adding (y, h) makes any remaining
+    # ties fully-identical rows, for which lag order cannot matter.
+    w = Window.partitionBy("page").orderBy("x", "rid", "y", "h")
+    r = r.withColumn("py", F.lag("y").over(w)).withColumn(
+        "ph", F.lag("h").over(w)
+    )
+    ratio = (
+        F.greatest(
+            F.lit(0.0),
+            F.least(F.col("y") + F.col("h"), F.col("py") + F.col("ph"))
+            - F.greatest(F.col("y"), F.col("py")),
+        )
+        / F.least(F.col("h"), F.col("ph"))
+    )
+    out = islands.islands(
+        r, ["page"], ["x", "rid", "y", "h"], F.col("py").isNull() | (ratio < 0.9)
+    )
+    return out.groupBy("page", "island").agg(
+        F.count("*").alias("members"),
+        F.min("x").alias("x0"),
+        F.round(F.min("y"), 6).alias("y0"),
+        F.round(F.max(F.col("y") + F.col("h")), 6).alias("y1"),
+    )
+
+
+@q(
+    "w8_collapse_order",
+    """
+    WITH c AS (
+      SELECT l_orderkey * 10 + l_linenumber AS rid,
+             l_orderkey % 53 AS page,
+             (l_suppkey % 200)::DOUBLE AS x,
+             (l_partkey % 50)::DOUBLE AS y
+      FROM lineitem
+    )
+    SELECT rid, page,
+           round(-(floor(y) * 100) + x / 100, 6) AS write_key,
+           row_number() OVER (PARTITION BY page
+                              ORDER BY -(floor(y) * 100) + x / 100, rid)
+             AS write_order
+    FROM c
+    """,
+)
+def w8_collapse_order(spark, sf_dir):
+    """W8 (spatial.rb:116-133): the collapse utility's write-order key
+    -(floor(y)*100)+x/100 (top-left reading order) as a ranking window;
+    WindowGroupLimit-free full rank, deterministic tie-break on rid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        (F.col("l_orderkey") % 53).alias("page"),
+        (F.col("l_suppkey") % 200).cast("double").alias("x"),
+        (F.col("l_partkey") % 50).cast("double").alias("y"),
+    )
+    key = -(F.floor("y") * 100) + F.col("x") / 100
+    return c.select(
+        "rid",
+        "page",
+        F.round(key, 6).alias("write_key"),
+        F.row_number()
+        .over(Window.partitionBy("page").orderBy(key.asc(), F.col("rid").asc()))
+        .alias("write_order"),
+    )
+
+
+_F10_NUMS_SPARK = (
+    "filter(transform(filter(regexp_extract_all(text, '[0-9]+', 0), "
+    "s -> length(s) <= 9), s -> cast(s as bigint)), n -> n < 1000)"
+)
+_F10_NUMS_DUCK = (
+    "list_filter(list_transform(list_filter(regexp_extract_all(text, '[0-9]+'), "
+    "s -> length(s) <= 9), s -> s::BIGINT), n -> n < 1000)"
+)
+
+@q(
+    "f10_numeric_sequence",
+    f"""
+    WITH n AS (
+      SELECT doc_id, text, {_F10_NUMS_DUCK} AS nums FROM documents
+    ),
+    enc AS (
+      SELECT doc_id, text, nums,
+             list_reduce(
+               list_prepend(0::BIGINT, nums),
+               (acc, x) -> CASE
+                 WHEN acc // 100000 = 0 THEN (x + 1) * 100000 + acc % 100000
+                 WHEN x = acc // 100000
+                   THEN (x + 1) * 100000 + acc % 100000 + 1
+                 ELSE acc END) AS st
+      FROM n
+    )
+    SELECT doc_id, st % 100000 AS seq_count,
+           CASE WHEN st % 100000 >= 3 AND nums[1] IS NOT NULL
+                     AND instr(substr(text, 1, 31), nums[1]::VARCHAR) > 0
+                THEN 1 ELSE 0 END AS is_ref_list
+    FROM enc
+    """,
+)
+def f10_numeric_sequence(spark, sf_dir):
+    """F10 (references.rb:163-184): numeric-sequence detector as a pure
+    higher-order-function fold — extract digit runs, drop >= 1000
+    (max_reference_order), fold (last, seq_count) state encoded in one
+    BIGINT, require seq_count >= 3 (min_sequence_count) and the first
+    number inside the first 31 chars.  Zero Python, zero shuffles; the
+    whole scan happens in the projection over the parquet scan.  (The
+    reference-exact kernel is core/references.numeric_sequence, pinned
+    by test_numeric_sequence_detector.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = docs.select(
+        "doc_id",
+        "text",
+        F.expr(_F10_NUMS_SPARK).alias("nums"),
+    ).select(
+        "doc_id",
+        "text",
+        "nums",
+        F.expr(
+            "aggregate(nums, cast(0 as bigint), (acc, x) -> CASE "
+            "WHEN acc div 100000 = 0 THEN (x + 1) * 100000 + acc % 100000 "
+            "WHEN x = acc div 100000 THEN (x + 1) * 100000 + acc % 100000 + 1 "
+            "ELSE acc END)"
+        ).alias("st"),
+    )
+    first_n = F.expr("try_element_at(nums, 1)")
+    seq_count = F.col("st") % 100000
+    return enc.select(
+        "doc_id",
+        seq_count.alias("seq_count"),
+        F.when(
+            (seq_count >= 3)
+            & first_n.isNotNull()
+            & (
+                F.instr(F.substring("text", 1, 31), first_n.cast("string"))
+                > 0
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_ref_list"),
+    )
+
+
+_F6_DICT = [
+    ("Table", 1.0),
+    ("Row", 1.0),
+    ("Value", 1.0),
+    ("Hash", 1.0),
+    ("Key", 1.0),
+    ("Batch", 1.0),
+    ("Merge", 0.0),
+    ("Scan", 0.0),
+]
+_F6_DICT_SQL = ", ".join(f"('{n}', {w})" for n, w in _F6_DICT)
+
+@q(
+    "f6_name_ratio",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+      FROM documents
+    ),
+    nz AS (
+      SELECT doc_id,
+             concat(upper(substr(lower(w), 1, 1)), substr(lower(w), 2)) AS n
+      FROM w WHERE w <> ''
+    ),
+    d AS (
+      SELECT name, weight::DOUBLE AS weight
+      FROM (VALUES {_F6_DICT_SQL}) AS t(name, weight)
+    )
+    SELECT doc_id,
+           CASE WHEN coalesce(sum(weight), 0) = 0 THEN 0.0
+                ELSE round(sum(weight) / count(*), 6) END AS name_ratio
+    FROM nz LEFT JOIN d ON n = name
+    GROUP BY doc_id
+    """,
+)
+def f6_name_ratio(spark, sf_dir):
+    """F6 (names.rb:21-49): dictionary-weight scoring — normalize each
+    word (downcase -> capitalize), look it up in a broadcast weight
+    dict (ambiguous entries weigh 0.0, names.rb:10-11), ratio =
+    sum(weights)/word_count with the 0-sum -> 0.0 quirk (names.rb:44-48).
+    The pipeline path uses the ~500-entry synthetic surname list
+    (core/names.py, familynames.db is absent upstream); this oracle
+    pair uses a corpus-aligned dict so matches actually occur.  The
+    dict side is broadcast — no shuffle of the big side beyond the
+    per-doc aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .select(
+            "doc_id",
+            F.concat(
+                F.upper(F.substring(F.lower("w"), 1, 1)),
+                F.expr("substring(lower(w), 2)"),
+            ).alias("n"),
+        )
+    )
+    d = spark.createDataFrame(_F6_DICT, "name string, weight double")
+    joined = words.join(F.broadcast(d), words["n"] == d["name"], "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.coalesce(F.sum("weight"), F.lit(0.0)).alias("total"),
+        F.count("*").alias("wc"),
+    )
+    return agg.select(
+        "doc_id",
+        F.when(F.col("total") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("total") / F.col("wc"), 6))
+        .alias("name_ratio"),
+    )
+
+
+@q(
+    "multimodal_features",
+    """
+    WITH m AS (SELECT range AS media_id FROM range(64)),
+    h AS (
+      SELECT media_id,
+             CASE WHEN media_id % 3 = 0 THEN 'image'
+                  WHEN media_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             sha256(media_id::VARCHAR) AS hex
+      FROM m
+    )
+    SELECT media_id, kind, 64::BIGINT AS n_bytes,
+           (ascii(substr(hex, 1, 1)) + ascii(substr(hex, 2, 1))
+            + ascii(substr(hex, 3, 1)) + ascii(substr(hex, 4, 1))) / 4.0 AS f0
+    FROM h
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (build brief): opaque binary payloads ->
+    Arrow-batched mapInPandas feature extraction (stubbed decode, real
+    schema/batch shapes).  The oracle independently recomputes byte
+    length and the first pooled feature (mean of the first 4 payload
+    bytes — exact in float32, so cross-engine equality is exact),
+    verifying payload bytes survive the Arrow boundary intact."""
+    from ..operators import multimodal as M
+
+    feats = M.media_features(M.synth_media(spark, 64))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+    )
+
+
+@q("ann_cosine_topk_ivf")
+def ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (scale path of ann_cosine_topk): exact cosine
+    restricted to the query's quantization cell +/- 1 probe per dim,
+    then top-k.  Recall < 1 by design, so no SQL oracle — the driver
+    records a rows-only check; test_ivf_bucket_prunes pins pruning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .head()[0]
+    )
+    out = similarity.cosine_topk_ivf(emb, list(qvec), k=10)
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
