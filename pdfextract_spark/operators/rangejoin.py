@@ -1,0 +1,54 @@
+"""Interval/range joins (SURVEY.md §2.3 J1 — x-interval incidence,
+``lib/pdf/extract/model/regions.rb:15-25``).
+
+The reference tests incidence of ``[x, x+width]`` intervals pairwise
+inside one page.  Per turn that stays fused in the region-merge kernel,
+but as a standalone *table-scale* operator a naive theta-join
+(``a.lo <= b.hi AND b.lo <= a.hi``) is O(n*m) per key group — a
+BroadcastNestedLoopJoin at cluster scale.  The scalable form here is
+the standard **grid-bucketed range join**: explode each interval to the
+grid cells it covers, hash-join on (keys, cell), re-check the exact
+predicate, and emit each matching pair exactly once by keeping only the
+canonical cell (the one containing ``max(a.lo, b.lo)``) — no distinct /
+second shuffle needed.  With cell width ~ median interval length, each
+interval covers O(1) cells, so work is O(n + m + matches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cells(lo: Column, hi: Column, width: float) -> Column:
+    return F.sequence(
+        F.floor(lo / F.lit(width)).cast("long"),
+        F.floor(hi / F.lit(width)).cast("long"),
+    )
+
+
+def interval_join(
+    a: DataFrame,
+    b: DataFrame,
+    on: list[str],
+    a_lo: str = "lo",
+    a_hi: str = "hi",
+    b_lo: str = "lo",
+    b_hi: str = "hi",
+    cell_width: float = 50.0,
+) -> DataFrame:
+    """Inner join of ``a`` × ``b`` on equal ``on`` keys and closed-
+    interval overlap ``a_lo <= b_hi AND b_lo <= a_hi``.
+
+    Columns of both inputs are preserved (``on`` keys once); interval
+    column names must not collide across sides (alias before calling).
+    Each matching pair appears exactly once.
+    """
+    ae = a.withColumn("_cell", F.explode(_cells(F.col(a_lo), F.col(a_hi), cell_width)))
+    be = b.withColumn("_cell", F.explode(_cells(F.col(b_lo), F.col(b_hi), cell_width)))
+    joined = ae.join(be, [*on, "_cell"])
+    overlap = (F.col(a_lo) <= F.col(b_hi)) & (F.col(b_lo) <= F.col(a_hi))
+    canonical = F.col("_cell") == F.floor(
+        F.greatest(F.col(a_lo), F.col(b_lo)) / F.lit(cell_width)
+    ).cast("long")
+    return joined.where(overlap & canonical).drop("_cell")

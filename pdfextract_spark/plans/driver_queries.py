@@ -1625,3 +1625,217 @@ def ann_cosine_topk_ivf(spark, sf_dir):
     )
     out = similarity.cosine_topk_ivf(emb, list(qvec), k=10)
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@q(
+    "j1_interval_join",
+    """
+    WITH a AS (
+      SELECT o_orderkey % 199 AS page,
+             o_custkey % 1000 AS a_lo,
+             o_custkey % 1000 + 5 + o_orderkey % 15 AS a_hi
+      FROM orders
+    ),
+    b AS (
+      SELECT l_orderkey % 199 AS page,
+             l_partkey % 1000 AS b_lo,
+             l_partkey % 1000 + 3 + l_suppkey % 10 AS b_hi
+      FROM lineitem
+    )
+    SELECT a.page AS page, count(*) AS n_pairs,
+           sum(least(a_hi, b_hi) - greatest(a_lo, b_lo)) AS sum_overlap
+    FROM a JOIN b ON a.page = b.page AND a_lo <= b_hi AND b_lo <= a_hi
+    GROUP BY a.page
+    """,
+)
+def j1_interval_join(spark, sf_dir):
+    """J1 (regions.rb:15-25): x-interval incidence as a table-scale
+    range join.  The oracle states the plain theta-join; the Spark side
+    runs the grid-bucketed form (operators/rangejoin.py) — explode to
+    cells, hash-join on (page, cell), exact-predicate re-check,
+    canonical-cell dedupe — which keeps the join a hash join instead of
+    a nested-loop at 100 TB.  Output aggregated per page so the result
+    stays small at any SF."""
+    from ..operators.rangejoin import interval_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = orders.select(
+        (F.col("o_orderkey") % 199).alias("page"),
+        (F.col("o_custkey") % 1000).alias("a_lo"),
+        (F.col("o_custkey") % 1000 + 5 + F.col("o_orderkey") % 15).alias("a_hi"),
+    )
+    b = li.select(
+        (F.col("l_orderkey") % 199).alias("page"),
+        (F.col("l_partkey") % 1000).alias("b_lo"),
+        (F.col("l_partkey") % 1000 + 3 + F.col("l_suppkey") % 10).alias("b_hi"),
+    )
+    pairs = interval_join(
+        a, b, ["page"], a_lo="a_lo", a_hi="a_hi", b_lo="b_lo", b_hi="b_hi",
+        cell_width=16.0,
+    )
+    return pairs.groupBy("page").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            F.least(F.col("a_hi"), F.col("b_hi"))
+            - F.greatest(F.col("a_lo"), F.col("b_lo"))
+        ).alias("sum_overlap"),
+    )
+
+
+@q(
+    "p4_p6_section_flags",
+    """
+    WITH r AS (
+      SELECT p_partkey AS rid,
+             p_partkey % 101 AS page,
+             ((p_size % 40) * 10 + 30)::DOUBLE AS width,
+             (10 + p_partkey % 5)::DOUBLE AS height,
+             ((p_partkey % 7) * 1.5 + 10)::DOUBLE AS line_height,
+             400.0 AS col_width
+      FROM part
+    ),
+    flagged AS (
+      SELECT *,
+        CASE WHEN width <= col_width AND width / col_width >= 0.9
+             THEN 1 ELSE 0 END AS is_candidate,
+        CASE WHEN NOT (width <= col_width AND width / col_width >= 0.9)
+                  AND width >= height
+             THEN 1 ELSE 0 END AS is_possible_header,
+        lag(width) OVER w AS pw,
+        lag(line_height) OVER w AS plh
+      FROM r WINDOW w AS (PARTITION BY page ORDER BY rid)
+    )
+    SELECT rid, page, is_candidate, is_possible_header,
+           CASE WHEN pw IS NOT NULL
+                     AND abs(width - pw) / ((width + pw) / 2) <= 0.1
+                     AND round(line_height, 2) = round(plh, 2)
+                THEN 1 ELSE 0 END AS matches_prev
+    FROM flagged
+    """,
+)
+def p4_p6_section_flags(spark, sf_dir):
+    """P4/P5/P6 (sections.rb:15-42): the three section-assembly
+    predicates as pure column expressions — candidate (width within
+    column and >= width_ratio 0.9 of it), possible-header (narrower but
+    wider than tall), and width+font match vs the previous region via
+    lag (widths within 10% of their mean, round(line_height,2) equal).
+    All whole-stage codegen; one shuffle for the lag window."""
+    part = load_table(spark, sf_dir, "part")
+    r = part.select(
+        F.col("p_partkey").alias("rid"),
+        (F.col("p_partkey") % 101).alias("page"),
+        ((F.col("p_size") % 40) * 10 + 30).cast("double").alias("width"),
+        (F.col("p_partkey") % 5 + 10).cast("double").alias("height"),
+        ((F.col("p_partkey") % 7) * 1.5 + 10).cast("double").alias("line_height"),
+        F.lit(400.0).alias("col_width"),
+    )
+    cand = (F.col("width") <= F.col("col_width")) & (
+        F.col("width") / F.col("col_width") >= 0.9
+    )
+    w = Window.partitionBy("page").orderBy("rid")
+    flagged = r.select(
+        "rid",
+        "page",
+        F.when(cand, 1).otherwise(0).alias("is_candidate"),
+        F.when(~cand & (F.col("width") >= F.col("height")), 1)
+        .otherwise(0)
+        .alias("is_possible_header"),
+        "width",
+        "line_height",
+        F.lag("width").over(w).alias("pw"),
+        F.lag("line_height").over(w).alias("plh"),
+    )
+    match = (
+        F.col("pw").isNotNull()
+        & (
+            F.abs(F.col("width") - F.col("pw"))
+            / ((F.col("width") + F.col("pw")) / 2)
+            <= 0.1
+        )
+        & (F.round("line_height", 2) == F.round("plh", 2))
+    )
+    return flagged.select(
+        "rid",
+        "page",
+        "is_candidate",
+        "is_possible_header",
+        F.when(match, 1).otherwise(0).alias("matches_prev"),
+    )
+
+
+@q(
+    "f12_margin_split",
+    """
+    WITH lines AS (
+      SELECT event_id AS line_id,
+             user_id % 500 AS doc,
+             CAST(floor(value) AS BIGINT) % 40 AS x_floor
+      FROM events
+    ),
+    freq AS (
+      SELECT doc, x_floor, count(*) AS cnt
+      FROM lines GROUP BY doc, x_floor
+    ),
+    delim AS (
+      SELECT doc, x_floor AS delim_x
+      FROM (
+        SELECT doc, x_floor, row_number() OVER (
+          PARTITION BY doc ORDER BY cnt DESC, x_floor DESC) AS rk
+        FROM freq
+      ) WHERE rk = 2
+    ),
+    flagged AS (
+      SELECT l.doc, l.line_id,
+             CASE WHEN d.delim_x IS NOT NULL AND l.x_floor = d.delim_x
+                  THEN 1 ELSE 0 END AS is_delim
+      FROM lines l LEFT JOIN delim d ON l.doc = d.doc
+    ),
+    seg AS (
+      SELECT doc, line_id,
+             sum(is_delim) OVER (PARTITION BY doc ORDER BY line_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment
+      FROM flagged
+    )
+    SELECT doc, segment, count(*) AS n_lines,
+           min(line_id) AS first_line
+    FROM seg WHERE segment > 0
+    GROUP BY doc, segment
+    """,
+)
+def f12_margin_split(spark, sf_dir):
+    """F12 (references.rb:66-78): the margin splitter composed from its
+    parts — A10 second-most-frequent floor(x_offset) per doc picks the
+    delimiter offset, T1 partition_at splits the line sequence at each
+    delimiter line, T2 drop_while removes lines before the first
+    delimiter (segment 0).  The delimiter table is doc-keyed and tiny
+    -> broadcast back onto the big side; islands need one shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    lines = events.select(
+        F.col("event_id").alias("line_id"),
+        (F.col("user_id") % 500).alias("doc"),
+        (F.floor("value").cast("long") % 40).alias("x_floor"),
+    )
+    delim = (
+        histogram.nth_most_frequent(
+            lines.select("doc", F.col("x_floor").cast("double").alias("v")),
+            ["doc"],
+            "v",
+            2,
+        )
+        .select("doc", F.col("delimiter").alias("delim_x"))
+    )
+    flagged = lines.join(F.broadcast(delim), "doc", "left").select(
+        "doc",
+        "line_id",
+        (
+            F.col("delim_x").isNotNull()
+            & (F.col("x_floor") == F.col("delim_x"))
+        ).alias("is_delim"),
+    )
+    seg = islands.partition_at(
+        flagged, ["doc"], "line_id", F.col("is_delim"), drop_leading=True
+    )
+    return seg.groupBy("doc", "segment").agg(
+        F.count("*").alias("n_lines"), F.min("line_id").alias("first_line")
+    )

@@ -200,3 +200,43 @@ def test_multimodal_feature_plumbing(spark):
     # determinism
     feats2 = M.media_features(M.synth_media(spark, 12), feat_dim=8).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_interval_join_matches_naive_theta(spark):
+    """Grid-bucketed range join (J1 scale form) must equal the naive
+    theta-join exactly: touching intervals included, pairs spanning
+    many shared cells emitted once."""
+    from pdfextract_spark.operators.rangejoin import interval_join
+
+    a = spark.createDataFrame(
+        [
+            (1, 0, 10, "a1"),
+            (1, 100, 260, "a2"),   # spans many cells at width 16
+            (1, 40, 40, "a3"),     # degenerate point interval
+            (2, 0, 5, "a4"),
+        ],
+        "page int, a_lo long, a_hi long, aid string",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 10, 20, "b1"),     # touches a1 at 10 -> match (closed)
+            (1, 90, 300, "b2"),    # overlaps a2 across ~12 shared cells
+            (1, 41, 50, "b3"),     # misses a3 by 1
+            (2, 6, 9, "b4"),       # misses a4 by 1
+            (3, 0, 1000, "b5"),    # different page: never matches
+        ],
+        "page int, b_lo long, b_hi long, bid string",
+    )
+    fast = interval_join(
+        a, b, ["page"], a_lo="a_lo", a_hi="a_hi", b_lo="b_lo", b_hi="b_hi",
+        cell_width=16.0,
+    )
+    got = sorted((r["aid"], r["bid"]) for r in fast.collect())
+    naive = a.join(
+        b,
+        (a["page"] == b["page"])
+        & (a["a_lo"] <= b["b_hi"])
+        & (b["b_lo"] <= a["a_hi"]),
+    )
+    want = sorted((r["aid"], r["bid"]) for r in naive.collect())
+    assert got == want == [("a1", "b1"), ("a2", "b2")]
