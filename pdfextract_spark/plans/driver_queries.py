@@ -1839,3 +1839,77 @@ def f12_margin_split(spark, sf_dir):
     return seg.groupBy("doc", "segment").agg(
         F.count("*").alias("n_lines"), F.min("line_id").alias("first_line")
     )
+
+
+@q(
+    "j4_zone_assembly",
+    """
+    WITH r AS (
+      SELECT l_orderkey % 97 AS page,
+             (l_linenumber * 50)::DOUBLE AS x,
+             40.0::DOUBLE AS w,
+             (l_partkey % 60)::DOUBLE AS y,
+             (3 + l_suppkey % 8)::DOUBLE AS h
+      FROM lineitem
+    ),
+    m AS (
+      SELECT page, min(x) AS left_m, max(x + w) AS right_m,
+             min(y) AS bottom_m, max(y + h) AS top_m
+      FROM r GROUP BY page
+    ),
+    lagged AS (
+      SELECT page, y AS lo, y + h AS hi,
+             max(y + h) OVER (PARTITION BY page ORDER BY y, y + h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+      FROM r
+    ),
+    isl AS (
+      SELECT page, lo, hi,
+             sum(CASE WHEN runmax IS NULL OR lo > runmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY page ORDER BY lo, hi
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM lagged
+    ),
+    merged AS (
+      SELECT page, island, min(lo) AS lo, max(hi) AS hi
+      FROM isl GROUP BY page, island
+    ),
+    mask AS (
+      SELECT page, count(*) AS n_masks,
+             round(sum(hi - lo), 6) AS covered
+      FROM merged GROUP BY page
+    )
+    SELECT m.page AS page, left_m, right_m, bottom_m, top_m,
+           n_masks, covered
+    FROM m JOIN mask ON m.page = mask.page
+    """,
+)
+def j4_zone_assembly(spark, sf_dir):
+    """J4 (zones.rb:27-51): per-page assembly of the four margin
+    scalars (A6 extents) plus the region y-mask statistics (A4 union:
+    merged-interval count and covered length) that the 1/2/3-way zone
+    split (T3) consumes.  Two aggregations over one shuffle key plus a
+    tiny post-agg join — no per-row Python, all codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.select(
+        (F.col("l_orderkey") % 97).alias("page"),
+        (F.col("l_linenumber") * 50).cast("double").alias("x"),
+        F.lit(40.0).alias("w"),
+        (F.col("l_partkey") % 60).cast("double").alias("y"),
+        (F.col("l_suppkey") % 8 + 3).cast("double").alias("h"),
+    )
+    m = r.groupBy("page").agg(
+        F.min("x").alias("left_m"),
+        F.max(F.col("x") + F.col("w")).alias("right_m"),
+        F.min("y").alias("bottom_m"),
+        F.max(F.col("y") + F.col("h")).alias("top_m"),
+    )
+    iv = r.select(
+        "page", F.col("y").alias("lo"), (F.col("y") + F.col("h")).alias("hi")
+    )
+    merged = intervals.merge_intervals(iv, ["page"], "lo", "hi")
+    mask = merged.groupBy("page").agg(
+        F.count("*").alias("n_masks"),
+        F.round(F.sum(F.col("hi") - F.col("lo")), 6).alias("covered"),
+    )
+    return m.join(mask, "page")
