@@ -132,12 +132,20 @@ def main() -> None:
         )
         warm.write.format("noop").mode("overwrite").save()
 
+        # min of 2 runs per query: the sandbox host is shared and its
+        # effective CPU budget fluctuates 2-5x, so a single sample can
+        # be dominated by a noise burst; the minimum is the standard
+        # noise-robust estimator (same protocol as tools/scaling.py)
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            queries[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            queries[name] = round(best, 3)
 
     total = round(sum(queries.values()), 3)
     out = {
