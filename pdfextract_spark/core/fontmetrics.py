@@ -13,6 +13,8 @@ glyph width = width_units(char) / 1000 * font_size
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 # width classes in 1000ths of an em (dyadic: n/1000 kept exact enough
 # in float64 for the additive ranges we use; sums stay < 2^20)
 _NARROW = 250   # i j l . , ' ! | : ;
@@ -45,6 +47,15 @@ def text_width_units(s: str) -> int:
     for ch in s:
         total += _WIDTHS.get(ch, _REGULAR)
     return total
+
+
+@lru_cache(maxsize=1 << 16)
+def word_width_units(word: str) -> int:
+    """Memoized text_width_units for whole words: natural-language
+    vocabularies repeat heavily, so the per-glyph sum runs once per
+    distinct word per interpreter (i.e. per executor core), not per
+    occurrence.  Identical arithmetic to text_width_units."""
+    return text_width_units(word)
 
 
 class FontMetrics:

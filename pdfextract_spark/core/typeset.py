@@ -29,7 +29,13 @@ import re
 from dataclasses import dataclass
 
 from ..settings import Settings, Typesetter
-from .fontmetrics import BY_NAME, SPACE_UNITS, FontMetrics, width_units
+from .fontmetrics import (
+    BY_NAME,
+    SPACE_UNITS,
+    FontMetrics,
+    width_units,
+    word_width_units,
+)
 
 _PARA_RE = re.compile(r"\n{2,}")
 
@@ -91,9 +97,7 @@ def _wrap_paragraph(
     mono = not fm.proportional
 
     def w_units(word: str) -> int:
-        return 500 * len(word) if mono else sum(
-            width_units(c) for c in word
-        )
+        return 500 * len(word) if mono else word_width_units(word)
 
     out: list[tuple[str, int, float]] = []
     for i, logical in enumerate(para.split("\n")):
