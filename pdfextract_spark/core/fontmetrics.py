@@ -58,6 +58,18 @@ def word_width_units(word: str) -> int:
     return text_width_units(word)
 
 
+def line_width_units(s: str) -> int:
+    """text_width_units via the word cache.  Exact for ANY string:
+    ``s.split(" ")`` yields k tokens separated by exactly k-1 single
+    spaces (empty tokens have width 0), and a space's width is
+    SPACE_UNITS, so the sum reconstructs the per-glyph total."""
+    words = s.split(" ")
+    total = SPACE_UNITS * (len(words) - 1)
+    for w in words:
+        total += word_width_units(w)
+    return total
+
+
 class FontMetrics:
     """Face abstraction the typesetter consumes (S3)."""
 
@@ -75,7 +87,7 @@ class FontMetrics:
     def text_width(self, s: str, size: float) -> float:
         if not self.proportional:
             return 0.5 * size * len(s)
-        return text_width_units(s) * size / 1000.0
+        return line_width_units(s) * size / 1000.0
 
 
 BODY = FontMetrics("Body", proportional=True)
