@@ -1913,3 +1913,21 @@ def j4_zone_assembly(spark, sf_dir):
         F.round(F.sum(F.col("hi") - F.col("lo")), 6).alias("covered"),
     )
     return m.join(mask, "page")
+
+
+@q("pipeline_conv_rollup")
+def pipeline_conv_rollup(spark, sf_dir):
+    """Conversation-level metric rollup over the extraction output with
+    salted two-phase aggregation (sinks.conv_metrics_rollup) — the
+    skew-handling path the north_rule requires: the synthetic conv
+    assignment deliberately gives conv-0 ~8x the median turns, and a
+    10^12-turn table can hold 10^8-turn conversations, so partials are
+    combined per (conv_id, salt) before the final conv_id agg.
+    Rows-only check (UDF-bound upstream)."""
+    from ..sinks import conv_metrics_rollup
+    from .extract import extract
+
+    result = extract(_transcripts(spark, sf_dir), want=("references",))
+    return conv_metrics_rollup(result).select(
+        "conv_id", "turns", "chars_in", "refs_matched"
+    )

