@@ -45,9 +45,14 @@ def sf_of(sf_dir: str) -> float:
 # Headline operator queries benched besides the flagship extraction.
 BENCH_QUERIES = [
     "a2_islands_sessionize",
+    "a3_overlap_merge",
     "a4_interval_union_stats",
     "p10_j2_containment_join",
+    "j1_interval_join",
     "a9_ideal_scoring",
+    "f10_numeric_sequence",
+    "f12_margin_split",
+    "boilerplate_strip",
     "dedup_exact",
     "dedup_minhash_bands",
     "dedup_simhash",
