@@ -150,3 +150,49 @@ def test_synth_transcripts_deterministic(spark):
     a = sorted(map(str, synth_transcripts(spark, "/root/testdata/sf0.001").collect()))
     b = sorted(map(str, synth_transcripts(spark, "/root/testdata/sf0.001").collect()))
     assert a == b
+
+
+def test_salted_rollup_bounds_skewed_groups(spark):
+    """The salted two-phase aggregation must cap per-task group size
+    even when one conversation holds half the table (north_rule skew
+    requirement).  Deterministic property — no timing: the largest
+    partial group under (conv_id, salt) must shrink by ~the salt
+    fan-out relative to the naive groupBy(conv_id) hot group."""
+    from pyspark.sql import functions as F
+
+    n = 4000
+    # conv "hot" absorbs 50% of all turns; the rest spread over 40 convs
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 40).cast("string")))
+        .alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+    )
+    salt_buckets = 16
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets))
+    )
+    naive_max = (
+        df.groupBy("conv_id").count().agg(F.max("count")).head()[0]
+    )
+    salted_max = (
+        salted.groupBy("conv_id", "_salt")
+        .count()
+        .agg(F.max("count"))
+        .head()[0]
+    )
+    assert naive_max == n // 2
+    # xxhash64 spreads the hot conv's turn_idx values near-uniformly
+    # over the salt buckets: worst partial group ~ n/2/16, allow 2x
+    assert salted_max <= (naive_max // salt_buckets) * 2
+    # and the combine phase reproduces the exact naive counts
+    from pdfextract_spark.sinks import conv_metrics_rollup  # noqa: F401
+    recombined = (
+        salted.groupBy("conv_id", "_salt")
+        .count()
+        .groupBy("conv_id")
+        .agg(F.sum("count").alias("turns"))
+    )
+    got = {r["conv_id"]: r["turns"] for r in recombined.collect()}
+    want = {r["conv_id"]: r["count"] for r in df.groupBy("conv_id").count().collect()}
+    assert got == want
