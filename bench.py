@@ -139,8 +139,9 @@ def main() -> None:
 
         # min of 2 runs per query: the sandbox host is shared and its
         # effective CPU budget fluctuates 2-5x, so a single sample can
-        # be dominated by a noise burst; the minimum is the standard
-        # noise-robust estimator (same protocol as tools/scaling.py)
+        # be dominated by a noise burst; the minimum is a noise-robust
+        # estimator for these independent per-query timings (scaling
+        # RATIOS use time-paired rounds instead — tools/scaling.py)
         for name in BENCH_QUERIES:
             best = None
             for _ in range(2):

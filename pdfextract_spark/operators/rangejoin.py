@@ -44,6 +44,8 @@ def interval_join(
     column names must not collide across sides (alias before calling).
     Each matching pair appears exactly once.
     """
+    if not cell_width > 0:
+        raise ValueError(f"cell_width must be > 0, got {cell_width}")
     ae = a.withColumn("_cell", F.explode(_cells(F.col(a_lo), F.col(a_hi), cell_width)))
     be = b.withColumn("_cell", F.explode(_cells(F.col(b_lo), F.col(b_hi), cell_width)))
     joined = ae.join(be, [*on, "_cell"])

@@ -101,20 +101,28 @@ def run_extraction_job(
     return spark.read.parquet(f"{out_dir}/{LINEAGE_SUBDIR}")
 
 
+def salted_conv_partials(result: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Phase 1 of the skew-safe conv rollup: partial aggregates per
+    (conv_id, salt) so no single task ever sees a whole hot
+    conversation.  Exposed separately so tests can assert the bound on
+    the production salting, not a reimplementation."""
+    salted = result.withColumn(
+        "_salt", F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets))
+    )
+    return salted.groupBy("conv_id", "_salt").agg(
+        F.count("*").alias("turns"),
+        F.sum("metrics.chars_in").alias("chars_in"),
+        F.sum("metrics.refs_matched").alias("refs_matched"),
+    )
+
+
 def conv_metrics_rollup(result: DataFrame, salt_buckets: int = 16) -> DataFrame:
     """Conversation-level metric rollup with two-phase (salted)
     aggregation — the one place conv-level skew matters (SURVEY.md §4
     'Skewed long conversations'): a 10^8-turn conversation would
     hot-spot a naive groupBy(conv_id), so partials are computed per
     (conv_id, salt) first, then combined."""
-    salted = result.withColumn(
-        "_salt", F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets))
-    )
-    partial = salted.groupBy("conv_id", "_salt").agg(
-        F.count("*").alias("turns"),
-        F.sum("metrics.chars_in").alias("chars_in"),
-        F.sum("metrics.refs_matched").alias("refs_matched"),
-    )
+    partial = salted_conv_partials(result, salt_buckets)
     return partial.groupBy("conv_id").agg(
         F.sum("turns").alias("turns"),
         F.sum("chars_in").alias("chars_in"),

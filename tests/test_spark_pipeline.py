@@ -153,12 +153,16 @@ def test_synth_transcripts_deterministic(spark):
 
 
 def test_salted_rollup_bounds_skewed_groups(spark):
-    """The salted two-phase aggregation must cap per-task group size
-    even when one conversation holds half the table (north_rule skew
-    requirement).  Deterministic property — no timing: the largest
-    partial group under (conv_id, salt) must shrink by ~the salt
-    fan-out relative to the naive groupBy(conv_id) hot group."""
+    """The PRODUCTION salted two-phase aggregation must cap per-task
+    group size even when one conversation holds half the table
+    (north_rule skew requirement).  Deterministic property — no timing:
+    the largest partial group from sinks.salted_conv_partials must
+    shrink by ~the salt fan-out relative to the naive
+    groupBy(conv_id) hot group, and conv_metrics_rollup must combine
+    the partials back to exact totals."""
     from pyspark.sql import functions as F
+
+    from pdfextract_spark.sinks import conv_metrics_rollup, salted_conv_partials
 
     n = 4000
     # conv "hot" absorbs 50% of all turns; the rest spread over 40 convs
@@ -167,32 +171,34 @@ def test_salted_rollup_bounds_skewed_groups(spark):
         .otherwise(F.concat(F.lit("c"), (F.col("id") % 40).cast("string")))
         .alias("conv_id"),
         F.col("id").cast("int").alias("turn_idx"),
+        F.struct(
+            (F.col("id") % 100).cast("long").alias("chars_in"),
+            F.lit(0).alias("regions_found"),
+            F.lit(0).alias("sections_found"),
+            (F.col("id") % 3).cast("int").alias("refs_matched"),
+        ).alias("metrics"),
     )
     salt_buckets = 16
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets))
-    )
-    naive_max = (
-        df.groupBy("conv_id").count().agg(F.max("count")).head()[0]
-    )
-    salted_max = (
-        salted.groupBy("conv_id", "_salt")
-        .count()
-        .agg(F.max("count"))
-        .head()[0]
-    )
+    naive_max = df.groupBy("conv_id").count().agg(F.max("count")).head()[0]
     assert naive_max == n // 2
+    partials = salted_conv_partials(df, salt_buckets)
+    salted_max = partials.agg(F.max("turns")).head()[0]
     # xxhash64 spreads the hot conv's turn_idx values near-uniformly
     # over the salt buckets: worst partial group ~ n/2/16, allow 2x
     assert salted_max <= (naive_max // salt_buckets) * 2
-    # and the combine phase reproduces the exact naive counts
-    from pdfextract_spark.sinks import conv_metrics_rollup  # noqa: F401
-    recombined = (
-        salted.groupBy("conv_id", "_salt")
-        .count()
-        .groupBy("conv_id")
-        .agg(F.sum("count").alias("turns"))
-    )
-    got = {r["conv_id"]: r["turns"] for r in recombined.collect()}
-    want = {r["conv_id"]: r["count"] for r in df.groupBy("conv_id").count().collect()}
+    # and the combine phase reproduces exact naive aggregates
+    got = {
+        r["conv_id"]: (r["turns"], r["chars_in"], r["refs_matched"])
+        for r in conv_metrics_rollup(df, salt_buckets).collect()
+    }
+    want = {
+        r["conv_id"]: (r["count"], r["chars"], r["refs"])
+        for r in df.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("count"),
+            F.sum("metrics.chars_in").alias("chars"),
+            F.sum("metrics.refs_matched").alias("refs"),
+        )
+        .collect()
+    }
     assert got == want

@@ -49,8 +49,13 @@ def run_once(cores: int, sf_dir: str, turns_per_doc: int) -> dict:
         text=True,
         timeout=3600,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench.py --cores {cores} produced no JSON "
+            f"(exit {out.returncode}); stderr tail: {out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def _burn(seconds: float) -> int:
