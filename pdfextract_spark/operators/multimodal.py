@@ -121,3 +121,110 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         F.lit(64).alias("height"),
         F.lit(1000).alias("duration_ms"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("frame_sig", FloatType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 250, feat_dim: int = 16
+) -> DataFrame:
+    """Frame-sampling plumbing (build brief): UDTF-shaped mapInPandas
+    emitting one row per sampled frame — variable fan-out per input
+    row, the shape a real ffmpeg-backed sampler would have.  Decode is
+    the deterministic stub (pseudo-frames derived from payload bytes);
+    the Spark-side semantics (schema, fan-out, batch handling,
+    partition independence) are real.  ``n_frames = max(duration_ms //
+    every_ms, 1)`` capped at feat_dim pseudo-frames."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be > 0, got {every_ms}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids: list[int] = []
+            idxs: list[int] = []
+            tss: list[int] = []
+            sigs: list[float] = []
+            for mid, dur, payload in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["payload"]
+            ):
+                raw = _decode_image_stub(bytes(payload or b""))
+                pad = (-raw.size) % feat_dim
+                pooled = (
+                    np.pad(raw, (0, pad)).reshape(feat_dim, -1).mean(axis=1)
+                )
+                n = min(max(int(dur) // every_ms, 1), feat_dim)
+                for i in range(n):
+                    mids.append(int(mid))
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    sigs.append(float(pooled[i]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int32"),
+                    "frame_sig": pd.Series(sigs, dtype="float32"),
+                }
+            )
+
+    src = df.select("media_id", "duration_ms", "payload")
+    return src.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, out_w: int = 32, out_h: int = 32, feat_dim: int = 16
+) -> DataFrame:
+    """Resize plumbing (build brief): decode-stub pseudo-pixels are
+    deterministically resampled (np.interp) to out_w*out_h, then
+    pooled to a fixed-dim feature.  Swapping the stub for
+    PIL.Image.resize keeps schema, batch shape and plan unchanged."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"output dims must be > 0, got {out_w}x{out_h}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = out_w * out_h
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                raw = _decode_image_stub(bytes(payload or b""))
+                xs = np.linspace(0.0, 1.0, num=raw.size, endpoint=False)
+                xq = np.linspace(0.0, 1.0, num=n_out, endpoint=False)
+                resized = np.interp(xq, xs, raw)
+                pad = (-resized.size) % feat_dim
+                pooled = (
+                    np.pad(resized, (0, pad))
+                    .reshape(feat_dim, -1)
+                    .mean(axis=1)
+                )
+                feats.append(pooled.astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": pd.Series([out_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([out_h] * len(pdf), dtype="int32"),
+                    "feature": feats,
+                }
+            )
+
+    src = df.select("media_id", "kind", "payload")
+    return src.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -101,3 +101,28 @@ def char_shingle_fingerprint(col: Column, k: int = 8) -> Column:
 def reference_stopwords() -> list[str]:
     """The verbatim stopword list from the reference's data file."""
     return list(STOPWORDS)
+
+
+LANG_FUNCTION_WORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "es": ["el", "los", "las", "es", "y", "que", "un", "una", "para", "como"],
+    "fr": ["le", "les", "et", "est", "dans", "pour", "une", "des", "au", "sur"],
+}
+
+
+def lang_ratios(col: Column) -> list[Column]:
+    """Per-language function-word hit ratios (r_en, r_de, r_es, r_fr):
+    the feature vector behind multilingual language-ID triage.  All
+    higher-order-function expressions — JVM-side, zero Python."""
+    words = word_tokens(col)
+    out = []
+    for lang, lst in LANG_FUNCTION_WORDS.items():
+        arr = F.array(*[F.lit(w) for w in lst])
+        hits = F.size(F.filter(words, lambda x: F.array_contains(arr, x)))
+        out.append(
+            F.when(F.size(words) == 0, F.lit(0.0))
+            .otherwise(hits.cast("double") / F.size(words))
+            .alias(f"r_{lang}")
+        )
+    return out

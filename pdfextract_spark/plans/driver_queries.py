@@ -1931,3 +1931,113 @@ def pipeline_conv_rollup(spark, sf_dir):
     return conv_metrics_rollup(result).select(
         "conv_id", "turns", "chars_in", "refs_matched"
     )
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (SELECT range AS media_id FROM range(64)),
+    h AS (SELECT media_id, sha256(media_id::VARCHAR) AS hex FROM m),
+    f AS (
+      SELECT media_id, hex, unnest(generate_series(0, 3)) AS fi FROM h
+    )
+    SELECT media_id, fi::INT AS frame_idx, (fi * 250)::INT AS ts_ms,
+           (ascii(substr(hex, fi * 4 + 1, 1))
+            + ascii(substr(hex, fi * 4 + 2, 1))
+            + ascii(substr(hex, fi * 4 + 3, 1))
+            + ascii(substr(hex, fi * 4 + 4, 1))) / 4.0 AS frame_sig
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling (build brief): UDTF-shaped mapInPandas fanning
+    each media row out to one row per sampled frame (duration 1000ms /
+    every 250ms = 4).  The oracle recomputes each frame signature
+    independently (mean of 4 payload bytes, exact in float32), pinning
+    the variable fan-out AND the per-frame payload slicing."""
+    from ..operators import multimodal as M
+
+    frames = M.sample_frames(M.synth_media(spark, 64), every_ms=250)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.col("frame_sig").cast("double").alias("frame_sig"),
+    )
+
+
+_LANG_WORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "es": ["el", "los", "las", "es", "y", "que", "un", "una", "para", "como"],
+    "fr": ["le", "les", "et", "est", "dans", "pour", "une", "des", "au", "sur"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr"]
+_LANG_T = 0.08
+
+def _lang_ratio_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _LANG_WORDS[lang])
+    return (
+        f"CASE WHEN len(w) = 0 THEN 0.0 ELSE "
+        f"len(list_filter(w, x -> list_contains([{lst}], x))) * 1.0 / len(w) "
+        f"END"
+    )
+
+@q(
+    "lang_id_multi",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             {_lang_ratio_sql('en')} AS r_en,
+             {_lang_ratio_sql('de')} AS r_de,
+             {_lang_ratio_sql('es')} AS r_es,
+             {_lang_ratio_sql('fr')} AS r_fr
+      FROM t
+    )
+    SELECT doc_id,
+           CASE
+             WHEN r_en >= r_de AND r_en >= r_es AND r_en >= r_fr
+                  AND r_en >= {_LANG_T} THEN 'en'
+             WHEN r_de >= r_es AND r_de >= r_fr AND r_de >= {_LANG_T}
+               THEN 'de'
+             WHEN r_es >= r_fr AND r_es >= {_LANG_T} THEN 'es'
+             WHEN r_fr >= {_LANG_T} THEN 'fr'
+             ELSE 'other' END AS lang_pred
+    FROM r
+    """,
+)
+def lang_id_multi(spark, sf_dir):
+    """Multilingual language ID (build brief): per-language function-
+    word hit ratios, argmax with a fixed priority order (en > de > es >
+    fr) and an 0.08 floor — the n-gram-free heuristic a corpus triage
+    pass runs before an expensive model.  All JVM-side expressions."""
+    from ..operators.quality import lang_ratios
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select("doc_id", *lang_ratios(F.col("text")))
+    t = F.lit(_LANG_T)
+    pred = (
+        F.when(
+            (F.col("r_en") >= F.col("r_de"))
+            & (F.col("r_en") >= F.col("r_es"))
+            & (F.col("r_en") >= F.col("r_fr"))
+            & (F.col("r_en") >= t),
+            "en",
+        )
+        .when(
+            (F.col("r_de") >= F.col("r_es"))
+            & (F.col("r_de") >= F.col("r_fr"))
+            & (F.col("r_de") >= t),
+            "de",
+        )
+        .when((F.col("r_es") >= F.col("r_fr")) & (F.col("r_es") >= t), "es")
+        .when(F.col("r_fr") >= t, "fr")
+        .otherwise("other")
+    )
+    return r.select("doc_id", pred.alias("lang_pred"))

@@ -240,3 +240,47 @@ def test_interval_join_matches_naive_theta(spark):
     )
     want = sorted((r["aid"], r["bid"]) for r in naive.collect())
     assert got == want == [("a1", "b1"), ("a2", "b2")]
+
+
+def test_sample_frames_fanout_and_determinism(spark):
+    """Frame sampling is a UDTF-shaped fan-out: 1000ms / 250ms = 4 rows
+    per media row, frame timestamps stride by every_ms, and the result
+    is invariant under input partitioning (partition independence of
+    the mapInPandas stage)."""
+    import pytest as _pytest
+
+    from pdfextract_spark.operators import multimodal as M
+
+    media = M.synth_media(spark, 12)
+    frames = M.sample_frames(media, every_ms=250).collect()
+    assert len(frames) == 12 * 4
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+        assert {r["ts_ms"] for r in rows} == {0, 250, 500, 750}
+    again = {
+        (r["media_id"], r["frame_idx"]): r["frame_sig"]
+        for r in M.sample_frames(media.repartition(5), every_ms=250).collect()
+    }
+    first = {
+        (r["media_id"], r["frame_idx"]): r["frame_sig"] for r in frames
+    }
+    assert again == first
+    with _pytest.raises(ValueError):
+        M.sample_frames(media, every_ms=0)
+
+
+def test_resize_media_shape_and_determinism(spark):
+    from pdfextract_spark.operators import multimodal as M
+
+    media = M.synth_media(spark, 8)
+    out = M.resize_media(media, out_w=16, out_h=16).collect()
+    assert len(out) == 8
+    for r in out:
+        assert (r["width"], r["height"]) == (16, 16)
+        assert len(r["feature"]) == 16
+    again = {r["media_id"]: r["feature"] for r in
+             M.resize_media(media.repartition(3), out_w=16, out_h=16).collect()}
+    assert again == {r["media_id"]: r["feature"] for r in out}
