@@ -217,6 +217,7 @@ def extract(
     rendered: bool = True,
     repartition: int | None = None,
     want: tuple[str, ...] | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, ...) -> one result row
     per turn with nested extraction artifacts.
@@ -230,7 +231,16 @@ def extract(
     kernel's cost is turn-local either way, but serializing the full
     nested row costs ~4x a references-only row, so consumers that read
     one artifact should ask for just it.
+
+    ``on_error``: ``"fail"`` (default) re-raises any kernel exception
+    wrapped with the offending (conv_id, turn_idx) so a failure in a
+    10^12-turn job is attributable without bisection; ``"skip"`` emits
+    a sentinel row instead (``page_count = -1``, empty artifacts,
+    metrics carrying chars_in only) so one poison turn cannot kill the
+    job — filter ``page_count >= 0`` downstream, count the rest.
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     from ..core.spatial import get_text_content
 
     selected = ARTIFACT_FIELDS if want is None else tuple(want)
@@ -276,7 +286,23 @@ def extract(
             for conv_id, turn_idx, role, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"]
             ):
-                res = extract_turn(text or "", settings, want=kernel_want)
+                try:
+                    res = extract_turn(text or "", settings, want=kernel_want)
+                except Exception as exc:
+                    if on_error == "fail":
+                        raise RuntimeError(
+                            f"extraction failed for conv_id={conv_id!r} "
+                            f"turn_idx={turn_idx}: {type(exc).__name__}: {exc}"
+                        ) from exc
+                    res = {
+                        "page_count": -1,
+                        "metrics": {
+                            "chars_in": len(text or ""),
+                            "regions_found": 0,
+                            "sections_found": 0,
+                            "refs_matched": 0,
+                        },
+                    }
                 row = {
                     "conv_id": conv_id,
                     "turn_idx": int(turn_idx),

@@ -202,3 +202,36 @@ def test_salted_rollup_bounds_skewed_groups(spark):
         .collect()
     }
     assert got == want
+
+
+def test_extract_on_error_skip_and_fail_context(spark):
+    """Production resilience: with on_error='skip', a poison turn emits
+    a sentinel row (page_count=-1, empty artifacts) instead of killing
+    the job; with the default 'fail', the raised error names the
+    offending (conv_id, turn_idx)."""
+    import pytest as _pytest
+
+    from pdfextract_spark.plans import extract
+    from pdfextract_spark.settings import Settings, Typesetter
+
+    df = make_transcripts(spark)
+    poison = Settings(typesetter=Typesetter(title_size=0.0))
+
+    rows = extract(df, settings=poison, on_error="skip").collect()
+    assert len(rows) == df.count()
+    # title_size=0 only detonates on multi-paragraph turns, so the
+    # batch is a realistic mix: poisoned turns -> sentinel rows,
+    # healthy turns -> normal rows, and nothing is dropped
+    bad = [r for r in rows if r["page_count"] == -1]
+    ok = [r for r in rows if r["page_count"] >= 0]
+    assert bad and ok
+    assert all(r["title"] is None and r["references"] == [] for r in bad)
+    # chars_in still recorded for lineage accounting
+    assert all(r["metrics"]["chars_in"] > 0 for r in bad)
+
+    with _pytest.raises(Exception) as ei:
+        extract(df, settings=poison).collect()
+    assert "conv_id=" in str(ei.value) and "turn_idx=" in str(ei.value)
+
+    with _pytest.raises(ValueError):
+        extract(df, on_error="bogus")
