@@ -60,6 +60,7 @@ def run_extraction_job(
     n_buckets: int = 64,
     buckets_per_batch: int = 16,
     resume: bool = True,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Execute the extraction over all (remaining) buckets in batches,
     committing output + lineage per batch.  Returns the lineage table.
@@ -82,7 +83,9 @@ def run_extraction_job(
         # recompute the bucket from the same hash instead of joining it
         # back — the extraction output keeps (conv_id, turn_idx), so the
         # bucket is a pure projection (no shuffle).
-        result = with_bucket(extract(part, settings), n_buckets)
+        result = with_bucket(
+            extract(part, settings, on_error=on_error), n_buckets
+        )
         result.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
 
         lineage = (
@@ -93,6 +96,9 @@ def run_extraction_job(
                 F.sum("metrics.regions_found").alias("regions_found"),
                 F.sum("metrics.sections_found").alias("sections_found"),
                 F.sum("metrics.refs_matched").alias("refs_matched"),
+                F.sum(
+                    F.when(F.col("page_count") < 0, 1).otherwise(0)
+                ).alias("turns_errored"),
             )
             .withColumn("committed_at", F.lit(time.time()))
         )

@@ -284,3 +284,47 @@ def test_resize_media_shape_and_determinism(spark):
     again = {r["media_id"]: r["feature"] for r in
              M.resize_media(media.repartition(3), out_w=16, out_h=16).collect()}
     assert again == {r["media_id"]: r["feature"] for r in out}
+
+
+def test_ivf_recall_on_real_embeddings(spark):
+    """IVF ANN recall against the brute-force ground truth on the
+    driver's deterministic embeddings table: with 1-cell probing on a
+    2-dim quantizer the top-10 recall must stay useful (>= 0.5) and the
+    candidate set must actually prune (< full table).  Deterministic
+    data -> deterministic recall, no flakiness."""
+    from pdfextract_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    truth = {
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, qvec, k=10).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in similarity.cosine_topk_ivf(
+            emb, qvec, k=10, dims=2, width=0.2, probe=1
+        ).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"recall@10 = {recall}"
+    # and the bucket filter must prune: candidate count < table size
+    from pyspark.sql import functions as _F
+
+    n_total = emb.count()
+    bucket = similarity.ivf_bucket(
+        _F.col("embedding").cast("array<double>"), 2, 0.2
+    )
+    import math
+
+    q_cells = [math.floor(qvec[i] / 0.2) for i in range(2)]
+    # count rows sharing the query's exact cell +- 1 per dim
+    codes = []
+    for d0 in (-1, 0, 1):
+        for d1 in (-1, 0, 1):
+            codes.append((q_cells[0] + d0) * 1000 + (q_cells[1] + d1))
+    n_cand = emb.where(bucket.isin(codes)).count()
+    assert 0 < n_cand < n_total

@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--turns-per-doc", type=int, default=1)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--skip-errors", action="store_true",
+                    help="emit sentinel rows for failing turns instead of aborting")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,6 +57,7 @@ def main() -> None:
         n_buckets=args.buckets,
         buckets_per_batch=args.batch,
         resume=args.resume,
+        on_error=("skip" if args.skip_errors else "fail"),
     )
     stats = lineage.groupBy().sum("rows_out", "refs_matched").collect()[0]
     print(
