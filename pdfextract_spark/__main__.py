@@ -24,7 +24,14 @@ import sys
 
 from .settings import DEFAULT, Settings
 
-ARTIFACTS = ("regions", "zones", "columns", "sections", "titles", "references")
+ARTIFACTS = (
+    "regions", "zones", "columns", "sections", "titles", "references",
+    "characters", "chunks", "margins",
+)
+# reference CLI group flags (bin/pdf-extract:12-14,64-66); zone
+# sub-type flags select the zones artifact filtered by group
+SEMANTIC = ("references", "titles", "sections")
+ZONE_GROUPS = {"headers": "headers", "footers": "footers", "bodies": "bodies"}
 
 
 def apply_overrides(settings: Settings, pairs: list[str]) -> Settings:
@@ -48,6 +55,17 @@ def main(argv: list[str] | None = None) -> None:
     ex = sub.add_parser("extract", help="run the extraction pipeline")
     for a in ARTIFACTS:
         ex.add_argument(f"--{a}", action="store_true")
+    ex.add_argument("--semantic", action="store_true",
+                    help="references + titles + sections (reference CLI group flag)")
+    for z in ZONE_GROUPS:
+        ex.add_argument(f"--{z}", action="store_true",
+                        help=f"zones filtered to {z}")
+    ex.add_argument("--no-lines", action="store_true",
+                    help="omit nested line elements from XML output")
+    ex.add_argument("--outline", action="store_true",
+                    help="XML output with geometry only, no text content")
+    ex.add_argument("--precision", type=int, default=None,
+                    help="numeric rounding digits (reference --precision)")
     ex.add_argument("--input", help="transcripts parquet path")
     ex.add_argument("--synth-from", help="sf dir with documents.parquet")
     ex.add_argument("--output", required=True)
@@ -60,7 +78,15 @@ def main(argv: list[str] | None = None) -> None:
 
     args = ap.parse_args(argv)
     settings = apply_overrides(DEFAULT, args.overrides)
-    chosen = tuple(a for a in ARTIFACTS if getattr(args, a))
+    if args.precision is not None:
+        settings = dataclasses.replace(settings, precision=args.precision)
+    chosen = list(a for a in ARTIFACTS if getattr(args, a))
+    if args.semantic:
+        chosen += [a for a in SEMANTIC if a not in chosen]
+    zone_filter = [g for g in ZONE_GROUPS if getattr(args, g)]
+    if zone_filter and "zones" not in chosen:
+        chosen.append("zones")
+    chosen = tuple(chosen)
     want = tuple({"titles": "title"}.get(a, a) for a in chosen) or None
 
     from pyspark.sql import SparkSession
@@ -87,6 +113,8 @@ def main(argv: list[str] | None = None) -> None:
         from .core.xmlview import render_turn_xml
 
         kernel_want = tuple(chosen) or ARTIFACTS
+        xml_lines = not args.no_lines
+        xml_outline = args.outline
 
         def to_xml(batches):
             import pandas as pd
@@ -100,6 +128,9 @@ def main(argv: list[str] | None = None) -> None:
                             render_turn_xml(
                                 extract_turn(t or "", settings, want=kernel_want),
                                 settings,
+                                lines=xml_lines,
+                                outline=xml_outline,
+                                zone_filter=zone_filter or None,
                             )
                             for t in pdf["text"]
                         ],
@@ -120,9 +151,18 @@ def main(argv: list[str] | None = None) -> None:
     else:
         from .plans.extract import extract
 
-        extract(transcripts, settings, want=want).write.mode(
-            "overwrite"
-        ).parquet(args.output)
+        out = extract(transcripts, settings, want=want)
+        if zone_filter:
+            from pyspark.sql import functions as F
+
+            keep = F.array(*[F.lit(g) for g in zone_filter])
+            out = out.withColumn(
+                "zones",
+                F.filter(
+                    F.col("zones"), lambda z: F.array_contains(keep, z["zone"])
+                ),
+            )
+        out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"wrote {n} rows to {args.output}", file=sys.stderr)
     spark.stop()

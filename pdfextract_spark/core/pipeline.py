@@ -88,6 +88,13 @@ def extract_turn(
                 columns_by_page[p] = cols
 
     out: dict = {"page_count": max(by_page) if by_page else 0}
+    if "characters" in want:
+        # S2 char runs as an artifact (reference CLI --characters);
+        # reuse the parity-mode objects when already typeset
+        out["characters"] = (
+            char_objs if chars
+            else [vars(c) for c in typeset_chars(text, settings)]
+        )
     if "chunks" in want:
         out["chunks"] = chunk_pages
     if "regions" in want:

@@ -50,17 +50,22 @@ def _attrs(obj: dict, precision: int, parent: bool = True) -> str:
     return "".join(parts)
 
 
-def _element(tag: str, obj: dict, precision: int, lines: bool, parent: bool = True) -> str:
+def _element(tag: str, obj: dict, precision: int, lines: bool, parent: bool = True,
+             outline: bool = False) -> str:
     inner = ""
     content = obj.get("content")
-    if content is not None:
+    # outline mode (reference --outline, xml_view.rb:89-95): geometry
+    # only, no text nodes
+    if content is not None and not outline:
         inner += escape(language.transliterate(content))
     if lines and obj.get("lines"):
         for line in obj["lines"]:
-            inner += _element("line", line, precision, lines, parent=False)
+            inner += _element("line", line, precision, lines, parent=False,
+                              outline=outline)
     if obj.get("components"):
         for c in obj["components"]:
-            inner += _element("component", c, precision, lines, parent=False)
+            inner += _element("component", c, precision, lines, parent=False,
+                              outline=outline)
     return f"<{tag}{_attrs(obj, precision, parent)}>{inner}</{tag}>"
 
 
@@ -68,6 +73,7 @@ def render_xml(
     objects_by_type: dict[str, list[dict]],
     settings: Settings = DEFAULT,
     lines: bool = True,
+    outline: bool = False,
 ) -> str:
     """Render extraction artifacts to the reference's XML shape:
     ``<pdf><page number=N> <region ...>...</region> ... </page></pdf>``
@@ -79,7 +85,9 @@ def render_xml(
         tag = typ.rstrip("s") or typ
         for obj in objs or []:
             page = obj.get("page")
-            pages.setdefault(page, []).append(_element(tag, obj, p, lines))
+            pages.setdefault(page, []).append(
+                _element(tag, obj, p, lines, outline=outline)
+            )
     out = ["<pdf>"]
     for page in sorted((k for k in pages if k is not None)):
         out.append(f'<page number="{page}">')
@@ -91,18 +99,41 @@ def render_xml(
     return "".join(out)
 
 
-def render_turn_xml(result: dict, settings: Settings = DEFAULT) -> str:
-    """Convenience: render one extract_turn() result to XML."""
+def render_turn_xml(
+    result: dict,
+    settings: Settings = DEFAULT,
+    lines: bool = True,
+    outline: bool = False,
+    zone_filter: list[str] | None = None,
+) -> str:
+    """Convenience: render one extract_turn() result to XML.  Supports
+    the reference CLI's render options: --no-lines (lines=False),
+    --outline (geometry only), and zone sub-type selection
+    (zone_filter=['headers',...])."""
+    zones = [
+        {**z, "zone": z.get("group")} for z in result.get("zones") or []
+    ]
+    if zone_filter:
+        zones = [z for z in zones if z["zone"] in zone_filter]
     objs = {
         "regions": result.get("regions") or [],
-        "zones": [
-            {**z, "zone": z.get("group")} for z in result.get("zones") or []
-        ],
+        "zones": zones,
         "columns": result.get("columns") or [],
         "sections": result.get("sections") or [],
         "references": result.get("references") or [],
+        "characters": result.get("characters") or [],
+        "margins": [
+            dict(m, side=side)
+            for pg in sorted(result.get("margins") or {})
+            for side, m in (result.get("margins") or {})[pg].items()
+        ],
+        "chunks": [
+            c
+            for pg in sorted(result.get("chunks") or {})
+            for c in (result.get("chunks") or {})[pg]
+        ],
     }
     title = result.get("title")
     if title:
         objs["titles"] = [title]
-    return render_xml(objs, settings)
+    return render_xml(objs, settings, lines=lines, outline=outline)

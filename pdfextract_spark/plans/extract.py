@@ -120,6 +120,32 @@ REFERENCE_T = StructType(
     [StructField("content", _S), StructField("order", _I)]
 )
 
+CHUNK_T = StructType(
+    [
+        StructField("x", _D),
+        StructField("y", _D),
+        StructField("width", _D),
+        StructField("height", _D),
+        StructField("line_height", _D),
+        StructField("content", _S),
+        StructField("font", _S),
+        StructField("page", _I),
+    ]
+)
+
+CHAR_T = CHUNK_T  # same shape; content is a single glyph
+
+MARGIN_T = StructType(
+    [
+        StructField("side", _S),
+        StructField("x", _D),
+        StructField("y", _D),
+        StructField("width", _D),
+        StructField("height", _D),
+        StructField("page", _I),
+    ]
+)
+
 METRICS_T = StructType(
     [
         StructField("chars_in", LongType()),
@@ -141,6 +167,9 @@ RESULT_SCHEMA = StructType(
         StructField("columns", ArrayType(COLUMN_T)),
         StructField("sections", ArrayType(SECTION_T)),
         StructField("references", ArrayType(REFERENCE_T)),
+        StructField("characters", ArrayType(CHAR_T)),
+        StructField("chunks", ArrayType(CHUNK_T)),
+        StructField("margins", ArrayType(MARGIN_T)),
         StructField("metrics", METRICS_T),
     ]
 )
@@ -208,7 +237,25 @@ def _section_row(s: dict, content: str, rnd=_ident, tx=_ident) -> dict:
     }
 
 
-ARTIFACT_FIELDS = ("title", "regions", "zones", "columns", "sections", "references")
+def _chunk_row(c: dict, rnd=_ident, tx=_ident) -> dict:
+    return {
+        "x": rnd(c["x"]),
+        "y": rnd(c["y"]),
+        "width": rnd(c["width"]),
+        "height": rnd(c["height"]),
+        "line_height": rnd(c["line_height"]),
+        "content": tx(c["content"]),
+        "font": c["font"],
+        "page": c["page"],
+    }
+
+
+# DEFAULT_ARTIFACTS is what extract() emits when ``want`` is omitted
+# (matches the golden fixtures).  The full ARTIFACT_FIELDS adds the
+# reference CLI's debug artifacts (--characters/--chunks/--margins),
+# opt-in because a per-char row set dwarfs the real outputs.
+DEFAULT_ARTIFACTS = ("title", "regions", "zones", "columns", "sections", "references")
+ARTIFACT_FIELDS = DEFAULT_ARTIFACTS + ("characters", "chunks", "margins")
 
 
 def extract(
@@ -243,7 +290,7 @@ def extract(
         raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     from ..core.spatial import get_text_content
 
-    selected = ARTIFACT_FIELDS if want is None else tuple(want)
+    selected = DEFAULT_ARTIFACTS if want is None else tuple(want)
     schema = StructType(
         [
             f
@@ -355,6 +402,32 @@ def extract(
                     row["references"] = [
                         {"content": tx(r["content"]), "order": r.get("order")}
                         for r in res.get("references") or []
+                    ]
+                if "characters" in selected:
+                    row["characters"] = [
+                        _chunk_row(c, rnd, tx)
+                        for c in res.get("characters") or []
+                    ]
+                if "chunks" in selected:
+                    ch = res.get("chunks") or {}
+                    row["chunks"] = [
+                        _chunk_row(c, rnd, tx)
+                        for pg in sorted(ch)
+                        for c in ch[pg]
+                    ]
+                if "margins" in selected:
+                    mp = res.get("margins") or {}
+                    row["margins"] = [
+                        {
+                            "side": side,
+                            "x": rnd(m["x"]),
+                            "y": rnd(m["y"]),
+                            "width": rnd(m["width"]),
+                            "height": rnd(m["height"]),
+                            "page": m["page"],
+                        }
+                        for pg in sorted(mp)
+                        for side, m in mp[pg].items()
                     ]
                 rows.append(row)
             arrays = [

@@ -235,3 +235,44 @@ def test_extract_on_error_skip_and_fail_context(spark):
 
     with _pytest.raises(ValueError):
         extract(df, on_error="bogus")
+
+
+def test_reference_cli_artifact_parity(spark):
+    """Reference CLI parity (bin/pdf-extract:12-15): every selectable
+    object type — characters, chunks, regions, columns, semantic
+    (sections/titles/references), margins, zone sub-types — is
+    extractable, and the XML render supports --no-lines / --outline."""
+    from pdfextract_spark.core import extract_turn
+    from pdfextract_spark.core.xmlview import render_turn_xml
+    from pdfextract_spark.plans import extract
+
+    df = make_transcripts(spark)
+    full = extract(
+        df,
+        want=(
+            "title", "regions", "zones", "columns", "sections",
+            "references", "characters", "chunks", "margins",
+        ),
+    ).collect()
+    r = {x["turn_idx"]: x for x in full}[0]
+    assert len(r["characters"]) > len(r["chunks"]) > 0
+    assert {m["side"] for m in r["margins"]} == {
+        "top", "bottom", "left", "right"
+    }
+    # chunks are the typeset lines (fast path): their text joined is
+    # the region text source, so content must be non-empty
+    assert all(c["content"].strip() for c in r["chunks"])
+
+    res = extract_turn(
+        TEXTS[0],
+        want=("regions", "margins", "chunks", "characters", "zones"),
+    )
+    xml_full = render_turn_xml(res)
+    xml_nolines = render_turn_xml(res, lines=False)
+    xml_outline = render_turn_xml(res, outline=True)
+    assert "<line" in xml_full and "<line" not in xml_nolines
+    assert "<margin" in xml_full and "<chunk" in xml_full
+    # outline keeps geometry, drops text nodes
+    assert ">References<" not in xml_outline
+    only_headers = render_turn_xml(res, zone_filter=["headers"])
+    assert "footers" not in only_headers
