@@ -48,6 +48,68 @@ def apply_overrides(settings: Settings, pairs: list[str]) -> Settings:
     return dataclasses.replace(settings, **kv)
 
 
+def extract_bib(args) -> None:
+    """References -> catalog resolution -> one BibTeX entry per
+    reference (bin/pdf-extract extract-bib; resolution is a catalog
+    join instead of per-row HTTP, see operators/resolve.py)."""
+    import sys as _sys
+
+    from pyspark.sql import SparkSession
+
+    settings = apply_overrides(DEFAULT, args.overrides)
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("pdfextract-spark-bib")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    if args.synth_from:
+        from .sources import synth_transcripts
+
+        transcripts = synth_transcripts(spark, args.synth_from)
+    elif args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        raise SystemExit("one of --input / --synth-from is required")
+
+    from .core.bibview import bib_entry
+    from .operators.resolve import resolve_references, synth_citation_catalog
+    from .plans.extract import extract_exploded
+
+    refs = extract_exploded(transcripts, "references", settings=settings)
+    catalog = (
+        spark.read.parquet(args.catalog)
+        if args.catalog
+        else synth_citation_catalog(spark)
+    )
+    resolved = resolve_references(refs, catalog, min_score=args.min_score)
+
+    def to_bib(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "order": pdf["order"],
+                    "bib": [
+                        bib_entry(dict(zip(pdf.columns, row)))
+                        for row in pdf.itertuples(index=False)
+                    ],
+                }
+            )
+
+    out = resolved.mapInPandas(
+        to_bib, schema="conv_id string, turn_idx int, order int, bib string"
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"wrote {n} bib entries to {args.output}", file=_sys.stderr)
+    spark.stop()
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="pdfextract_spark")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -76,7 +138,23 @@ def main(argv: list[str] | None = None) -> None:
     ex.add_argument("--buckets", type=int, default=0,
                     help="checkpointed/resumable bucketed run")
 
+    eb = sub.add_parser(
+        "extract-bib",
+        help="extract references, resolve against a metadata catalog, "
+        "emit BibTeX entries (reference CLI extract-bib, network-free)",
+    )
+    eb.add_argument("--input", help="transcripts parquet path")
+    eb.add_argument("--synth-from", help="sf dir with documents.parquet")
+    eb.add_argument("--catalog", help="metadata catalog parquet "
+                    "(doi,title,author,year); synthetic when omitted")
+    eb.add_argument("--output", required=True)
+    eb.add_argument("--min-score", type=float, default=0.5)
+    eb.add_argument("--set", dest="overrides", action="append", default=[])
+    eb.add_argument("--master", default="local[*]")
+
     args = ap.parse_args(argv)
+    if args.command == "extract-bib":
+        return extract_bib(args)
     settings = apply_overrides(DEFAULT, args.overrides)
     if args.precision is not None:
         settings = dataclasses.replace(settings, precision=args.precision)

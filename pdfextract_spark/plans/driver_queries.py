@@ -2041,3 +2041,102 @@ def lang_id_multi(spark, sf_dir):
         .otherwise("other")
     )
     return r.select("doc_id", pred.alias("lang_pred"))
+
+
+_J5_STOP = (
+    "'a','an','and','the','of','in','on','for','with','to','at','by',"
+    "'journal','proceedings','conference','press','vol','pp'"
+)
+_J5_TOK = (
+    "list_filter(string_split(trim(regexp_replace(lower({c}), "
+    "'[^a-z0-9]+', ' ', 'g')), ' '), t -> length(t) >= 3 "
+    "AND regexp_matches(t, '[a-z]') "
+    f"AND NOT list_contains([{_J5_STOP}], t))"
+)
+
+@q(
+    "j5_resolve_catalog_join",
+    f"""
+    WITH cat AS (
+      SELECT concat('10.5555/synth.', i) AS doi,
+             concat('catalog study number ', i, ' of topic ', i % 17) AS title,
+             concat('Author', i % 29) AS author,
+             1970 + i % 50 AS year
+      FROM (SELECT unnest(generate_series(0, 199)) AS i)
+    ),
+    refs AS (
+      SELECT i AS ref_id,
+             concat('[', i, '] Author', i % 29, ', X. (', 1970 + i % 50,
+                    '). Catalog study number ', i, ' of topic ', i % 17,
+                    '. Venue.') AS content
+      FROM (SELECT unnest(generate_series(0, 59)) AS i)
+    ),
+    rt AS (
+      SELECT ref_id, content,
+             {_J5_TOK.format(c='content')} AS rtoks,
+             nullif(regexp_extract(content,
+               '(?:^|[^0-9])((?:19|20)[0-9]{{2}})(?:[^0-9]|$)', 1), '')::INT
+               AS ryear
+      FROM refs
+    ),
+    ct AS (
+      SELECT doi, year,
+             {_J5_TOK.format(c="concat(title, ' ', author)")} AS ctoks
+      FROM cat
+    ),
+    scored AS (
+      SELECT rt.ref_id, ct.doi,
+             CASE WHEN len(ctoks) > 0
+                  THEN len(list_intersect(rtoks, ctoks)) * 1.0 / len(ctoks)
+                  ELSE 0.0 END AS score
+      FROM rt LEFT JOIN ct ON rt.ryear = ct.year
+    ),
+    best AS (
+      SELECT ref_id, doi, score,
+             row_number() OVER (PARTITION BY ref_id
+                                ORDER BY score DESC, doi ASC) AS rk
+      FROM scored
+    )
+    SELECT ref_id,
+           CASE WHEN score >= 0.5 THEN doi END AS doi,
+           CASE WHEN score >= 0.5 THEN round(score, 6) END AS score
+    FROM best WHERE rk = 1
+    """,
+)
+def j5_resolve_catalog_join(spark, sf_dir):
+    """J5 (resolve.rb, resolved_references.rb:11-13) — Spark-first
+    redesign: per-reference HTTP resolution becomes a year-blocked
+    catalog join with token-overlap scoring and per-reference argmax
+    (operators/resolve.py).  At CrossRef scale the catalog is a ~150M
+    row table and this is a plain shuffle hash join — no network, no
+    per-row Python.  The oracle replays the identical pipeline in SQL
+    over the same deterministic synthetic catalog."""
+    from ..operators.resolve import resolve_references, synth_citation_catalog
+
+    refs = spark.range(60).select(
+        F.col("id").alias("ref_id"),
+        F.concat(
+            F.lit("["), F.col("id"), F.lit("] Author"), F.col("id") % 29,
+            F.lit(", X. ("), F.lit(1970) + F.col("id") % 50,
+            F.lit("). Catalog study number "), F.col("id"),
+            F.lit(" of topic "), F.col("id") % 17, F.lit(". Venue."),
+        ).alias("content"),
+    )
+    cat = synth_citation_catalog(spark, 200)
+    out = resolve_references(refs, cat, min_score=0.5)
+    return out.select("ref_id", "doi", "score")
+
+
+@q("pipeline_resolved_references")
+def pipeline_resolved_references(spark, sf_dir):
+    """Full extraction -> references -> catalog resolution (the
+    reference's `extract-bib` semantic path, minus network).  Refs
+    from synthetic transcripts rarely match the synthetic catalog, so
+    most doi values are NULL — the shape (columns + per-ref rows) is
+    what the rows-only check pins."""
+    from ..operators.resolve import resolve_references, synth_citation_catalog
+    from .extract import extract_exploded
+
+    refs = extract_exploded(_transcripts(spark, sf_dir), "references")
+    out = resolve_references(refs, synth_citation_catalog(spark, 200))
+    return out.select("conv_id", "turn_idx", "content", "order", "doi", "score")

@@ -328,3 +328,49 @@ def test_ivf_recall_on_real_embeddings(spark):
             codes.append((q_cells[0] + d0) * 1000 + (q_cells[1] + d1))
     n_cand = emb.where(bucket.isin(codes)).count()
     assert 0 < n_cand < n_total
+
+
+def test_resolve_references_catalog_join(spark):
+    """J5 redesign: year-blocked catalog join resolves a matching
+    citation to its DOI with score 1.0, leaves unrelated and yearless
+    citations NULL, and prefers the best-scoring candidate."""
+    from pdfextract_spark.operators.resolve import (
+        resolve_references,
+        synth_citation_catalog,
+    )
+
+    cat = synth_citation_catalog(spark, 100)
+    refs = spark.createDataFrame(
+        [
+            ("c0", 1, "[1] Author5, X. (1975). Catalog study number 5 of topic 5."),
+            ("c0", 2, "[2] Nobody, Y. (1999). Unrelated musings about nothing much."),
+            ("c0", 3, "no year in this citation at all"),
+        ],
+        "conv_id string, ref_idx int, content string",
+    )
+    out = {r["ref_idx"]: r for r in resolve_references(refs, cat).collect()}
+    assert out[1]["doi"] == "10.5555/synth.5" and out[1]["score"] == 1.0
+    assert out[2]["doi"] is None and out[2]["score"] is None
+    assert out[3]["doi"] is None
+    # every input reference survives the join exactly once
+    assert len(out) == 3
+
+
+def test_bib_entry_rendering():
+    from pdfextract_spark.core.bibview import bib_entry, render_bib
+
+    resolved = {
+        "doi": "10.5555/synth.5",
+        "title": "A {Braced} Title",
+        "author": "Ada Lovelace",
+        "year": 1975,
+    }
+    e = bib_entry(resolved)
+    assert e.startswith("@article{lovelace1975,")
+    assert "doi = {10.5555/synth.5}" in e
+    assert "\\{Braced\\}" in e  # brace escaping
+    unresolved = {"content": "raw citation text", "doi": None}
+    m = bib_entry(unresolved)
+    assert m.startswith("@misc{") and "raw citation text" in m
+    doc = render_bib([resolved, unresolved])
+    assert doc.count("@") == 2 and doc.endswith("\n")
