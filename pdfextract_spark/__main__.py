@@ -110,6 +110,68 @@ def extract_bib(args) -> None:
     spark.stop()
 
 
+def mark(args) -> None:
+    """Per-page SVG layout masks (bin/pdf-extract 'mark' analog)."""
+    import sys as _sys
+
+    from pyspark.sql import SparkSession
+
+    settings = apply_overrides(DEFAULT, args.overrides)
+    types = tuple(t for t in args.types.split(",") if t)
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("pdfextract-spark-mark")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    if args.synth_from:
+        from .sources import synth_transcripts
+
+        transcripts = synth_transcripts(spark, args.synth_from)
+    elif args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        raise SystemExit("one of --input / --synth-from is required")
+
+    from .core import extract_turn
+    from .core.maskview import render_turn_masks
+
+    ts = settings.typesetter
+
+    def to_masks(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            conv, turn, page, svg = [], [], [], []
+            for cid, tid, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                res = extract_turn(text or "", settings, want=types)
+                for p, doc in render_turn_masks(
+                    res,
+                    page_width=ts.page_width,
+                    page_height=ts.page_height,
+                    types=types,
+                ).items():
+                    conv.append(cid)
+                    turn.append(int(tid))
+                    page.append(int(p))
+                    svg.append(doc)
+            yield pd.DataFrame(
+                {"conv_id": conv, "turn_idx": pd.Series(turn, dtype="int32"),
+                 "page": pd.Series(page, dtype="int32"), "svg": svg}
+            )
+
+    out = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        to_masks, schema="conv_id string, turn_idx int, page int, svg string"
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"wrote {n} page masks to {args.output}", file=_sys.stderr)
+    spark.stop()
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="pdfextract_spark")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -152,9 +214,24 @@ def main(argv: list[str] | None = None) -> None:
     eb.add_argument("--set", dest="overrides", action="append", default=[])
     eb.add_argument("--master", default="local[*]")
 
+    mk = sub.add_parser(
+        "mark",
+        help="render per-page SVG masks of artifact bounding boxes "
+        "(reference CLI 'mark'; SVG since the graft has no source PDF "
+        "to overlay)",
+    )
+    mk.add_argument("--input", help="transcripts parquet path")
+    mk.add_argument("--synth-from", help="sf dir with documents.parquet")
+    mk.add_argument("--output", required=True)
+    mk.add_argument("--types", default="regions,zones,columns")
+    mk.add_argument("--set", dest="overrides", action="append", default=[])
+    mk.add_argument("--master", default="local[*]")
+
     args = ap.parse_args(argv)
     if args.command == "extract-bib":
         return extract_bib(args)
+    if args.command == "mark":
+        return mark(args)
     settings = apply_overrides(DEFAULT, args.overrides)
     if args.precision is not None:
         settings = dataclasses.replace(settings, precision=args.precision)

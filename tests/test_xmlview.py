@@ -40,3 +40,34 @@ def test_xml_deterministic():
     assert render_turn_xml(extract_turn(text)) == render_turn_xml(
         extract_turn(text)
     )
+
+
+def test_mask_svg_geometry_and_flip():
+    """S6 analog (pdf_view.rb:7-35): per-page SVG mask — rect per
+    artifact, PDF-to-SVG y-axis flip, all boxes inside the page."""
+    import re
+
+    from pdfextract_spark.core import extract_turn
+    from pdfextract_spark.core.maskview import render_mask_svg, render_turn_masks
+
+    text = "A Title\n\n" + " ".join(["body words here now"] * 60)
+    res = extract_turn(text, want=("regions", "zones", "columns"))
+    masks = render_turn_masks(res)
+    assert masks, "at least one page mask"
+    svg = masks[1]
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    rects = re.findall(
+        r'<rect x="([\d.]+)" y="([\d.]+)" width="([\d.]+)" height="([\d.]+)"',
+        svg,
+    )
+    assert rects
+    for x, y, w, h in ((float(a) for a in r) for r in rects):
+        assert 0 <= x <= 612 and 0 <= y <= 792
+        assert x + w <= 612 + 1e-6 and y + h <= 792 + 1e-6
+    # y-flip: the top-of-page region must render near SVG y=0 side
+    region_top_pdf = max(r["y"] + r["height"] for r in res["regions"])
+    svg_min_y = min(float(r[1]) for r in rects)
+    assert abs((792 - region_top_pdf) - svg_min_y) < 1e-6
+    # empty page -> background only
+    empty = render_mask_svg({"regions": []}, page=1)
+    assert "<rect x=" not in empty
