@@ -190,7 +190,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="XML output with geometry only, no text content")
     ex.add_argument("--precision", type=int, default=None,
                     help="numeric rounding digits (reference --precision)")
-    ex.add_argument("--input", help="transcripts parquet path")
+    ex.add_argument("--input", help="transcripts path")
+    ex.add_argument("--format", default="parquet",
+                    choices=["parquet", "orc", "json", "csv"],
+                    help="input format (schema-enforced reader)")
     ex.add_argument("--synth-from", help="sf dir with documents.parquet")
     ex.add_argument("--output", required=True)
     ex.add_argument("--as", dest="render_as", choices=["table", "xml"],
@@ -259,7 +262,9 @@ def main(argv: list[str] | None = None) -> None:
 
         transcripts = synth_transcripts(spark, args.synth_from)
     elif args.input:
-        transcripts = spark.read.parquet(args.input)
+        from .sources.tables import read_transcripts
+
+        transcripts = read_transcripts(spark, args.input, format=args.format)
     else:
         raise SystemExit("one of --input / --synth-from is required")
 

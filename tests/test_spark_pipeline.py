@@ -276,3 +276,37 @@ def test_reference_cli_artifact_parity(spark):
     assert ">References<" not in xml_outline
     only_headers = render_turn_xml(res, zone_filter=["headers"])
     assert "footers" not in only_headers
+
+
+def test_read_transcripts_all_formats_equal(spark, tmp_path):
+    """Transcripts arriving as parquet, ORC, JSON-lines or CSV produce
+    identical extraction results (schema-enforced readers, no
+    inference pass)."""
+    import pytest as _pytest
+
+    from pdfextract_spark.plans import extract
+    from pdfextract_spark.sources.tables import read_transcripts
+
+    base = make_transcripts(spark).withColumn(
+        "tool", F.lit(None).cast("string")
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+
+    def canon(df):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], str(r["title"]), str(r["references"]))
+            for r in extract(df, want=("title", "references")).collect()
+        )
+
+    want = canon(base)
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / fmt)
+        writer = base.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", "true").option("escape", '"')
+        getattr(writer, "orc" if fmt == "orc" else fmt)(path) if fmt != "json" \
+            else base.write.mode("overwrite").json(path)
+        got = canon(read_transcripts(spark, path, format=fmt))
+        assert got == want, f"format {fmt} diverged"
+
+    with _pytest.raises(ValueError):
+        read_transcripts(spark, "/tmp/x", format="avro")
