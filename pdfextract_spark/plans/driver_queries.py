@@ -2140,3 +2140,83 @@ def pipeline_resolved_references(spark, sf_dir):
     refs = extract_exploded(_transcripts(spark, sf_dir), "references")
     out = resolve_references(refs, synth_citation_catalog(spark, 200))
     return out.select("conv_id", "turn_idx", "content", "order", "doi", "score")
+
+
+@q(
+    "decontaminate_ngram",
+    f"""
+    WITH nw AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 5 THEN []
+                  ELSE [array_to_string(w[i:i+4], ' ')
+                        for i in generate_series(1, len(w) - 4)] END
+               AS shingles
+      FROM nw
+    ),
+    c AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+    b AS (
+      SELECT DISTINCT unnest(shingles) AS bsh FROM sh WHERE doc_id % 20 = 0
+    ),
+    j AS (
+      SELECT c.doc_id, c.sh, b.bsh IS NOT NULL AS hit
+      FROM c LEFT JOIN b ON c.sh = b.bsh
+    ),
+    agg AS (
+      SELECT doc_id, count(sh) AS n_shingles,
+             count(DISTINCT CASE WHEN hit THEN sh END) AS n_contaminated,
+             round(CASE WHEN count(sh) > 0
+                   THEN count(DISTINCT CASE WHEN hit THEN sh END) * 1.0
+                        / count(DISTINCT sh)
+                   ELSE 0.0 END, 6) AS hit_rate
+      FROM j GROUP BY doc_id
+    )
+    SELECT nw.doc_id,
+           coalesce(n_shingles, 0) AS n_shingles,
+           coalesce(n_contaminated, 0) AS n_contaminated,
+           coalesce(hit_rate, 0.0) AS hit_rate
+    FROM nw LEFT JOIN agg ON nw.doc_id = agg.doc_id
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination (training-data op): flag corpus docs
+    sharing word 5-grams with the eval set (here: every 20th doc
+    stands in for a benchmark).  Benchmark shingle set broadcasts;
+    work scales with corpus + matches, never corpus x benchmark.
+    Benchmark members themselves report hit_rate 1.0 — the
+    deterministic positive control."""
+    from ..operators.decontaminate import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return ngram_contamination(docs, bench, n=5)
+
+
+@q(
+    "sample_stratified_hash",
+    """
+    SELECT source, count(*) AS n_sampled,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents
+    WHERE substring(md5(concat(source, '#', doc_id)), 8, 1)
+          IN ('0', '1', '2', '3')
+    GROUP BY source
+    """,
+)
+def sample_stratified_hash(spark, sf_dir):
+    """Deterministic stratified sampling (training-data op): md5-hash
+    cut keeps the same 25% of each source on every run/engine —
+    reproducible under retries and resumable jobs, unlike df.sample.
+    (bucket < 4 of 16 on the first-8-hex-chars hash is exactly '8th
+    hex char in 0..3', which is how the oracle states it.)"""
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = stratified_hash_sample(docs, "source", "doc_id", rate_buckets=4)
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -374,3 +374,54 @@ def test_bib_entry_rendering():
     assert m.startswith("@misc{") and "raw citation text" in m
     doc = render_bib([resolved, unresolved])
     assert doc.count("@") == 2 and doc.endswith("\n")
+
+
+def test_decontamination_positive_and_negative(spark):
+    """Benchmark members report hit_rate 1.0; documents with disjoint
+    vocabulary report 0.0; short docs (< n words) report 0 shingles."""
+    from pdfextract_spark.operators.decontaminate import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "one two three four five six seven"),
+            (3, "alpha beta gamma delta epsilon something else"),
+            (4, "too short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = corpus.where(F.col("doc_id") == 1)
+    out = {
+        r["doc_id"]: r
+        for r in ngram_contamination(corpus, bench, n=5).collect()
+    }
+    assert out[1]["hit_rate"] == 1.0          # benchmark member
+    assert out[2]["n_contaminated"] == 0      # disjoint vocabulary
+    assert out[3]["n_contaminated"] == 1      # shares one 5-gram
+    assert out[4]["n_shingles"] == 0 and out[4]["hit_rate"] == 0.0
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    """Hash sampling is exactly reproducible and strata are cut
+    independently (same key in different strata decides separately)."""
+    from pdfextract_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+    )
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 4).collect()}
+    b = {r["doc_id"] for r in hash_sample(df, "doc_id", 4).collect()}
+    assert a == b and 0.15 < len(a) / 2000 < 0.35
+    s = stratified_hash_sample(df, "source", "doc_id", 4)
+    per = {r["source"]: r["cnt"] for r in
+           s.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    # every stratum sampled at roughly the target rate
+    for src, cnt in per.items():
+        assert 0.15 < cnt / (2000 / 3) < 0.35, (src, cnt)
+    # stratification changes decisions vs the unstratified cut
+    flat = {r["doc_id"] for r in s.collect()}
+    assert flat != a
