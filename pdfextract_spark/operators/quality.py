@@ -126,3 +126,70 @@ def lang_ratios(col: Column) -> list[Column]:
             .alias(f"r_{lang}")
         )
     return out
+
+
+def repetition_stats(
+    df, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+):
+    """Repetition signal (Gopher-style filter: fraction of n-grams
+    taken by the single most common n-gram).  Heavily-templated or
+    looping text scores near 1.0; natural prose stays low.  Shape:
+    explode n-grams -> per-(doc, gram) counts -> per-doc max/total —
+    two partial-aggregated shuffles on (doc, gram) then doc."""
+    from pyspark.sql import functions as F
+
+    from .dedup import word_shingles
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    per_gram = grams.groupBy(id_col, "g").agg(F.count("g").alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_grams"),
+        F.coalesce(F.max("c"), F.lit(0)).alias("top_gram_count"),
+        F.round(
+            F.when(
+                F.sum("c") > 0,
+                F.max("c").cast("double") / F.sum("c").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("repetition"),
+    )
+
+
+def gopher_quality_flags(col: Column) -> list[Column]:
+    """The word-level subset of the Gopher corpus-filter rules as
+    integer flag columns: word count in [50, 100000], mean word length
+    in [3, 10], >= 80% of words containing an alphabetic character,
+    and >= 2 distinct English stopwords present.  A doc passing all
+    four is 'gopher_pass'."""
+    from pyspark.sql import functions as F
+
+    words = word_tokens(col)
+    wc = F.size(words)
+    mean_wl = F.when(wc > 0,
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast(
+            "double"
+        )
+        / wc,
+    ).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = F.when(wc > 0, alpha.cast("double") / wc).otherwise(
+        F.lit(0.0)
+    )
+    stop_arr = F.array(*[F.lit(w) for w in LANG_EN_MARKERS])
+    distinct_stops = F.size(
+        F.array_distinct(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    )
+    f_wc = F.when((wc >= 50) & (wc <= 100000), 1).otherwise(0)
+    f_wl = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1).otherwise(0)
+    f_alpha = F.when(alpha_ratio >= 0.8, 1).otherwise(0)
+    f_stop = F.when(distinct_stops >= 2, 1).otherwise(0)
+    return [
+        f_wc.alias("flag_word_count"),
+        f_wl.alias("flag_mean_word_len"),
+        f_alpha.alias("flag_alpha_ratio"),
+        f_stop.alias("flag_stopwords"),
+        (f_wc * f_wl * f_alpha * f_stop).alias("gopher_pass"),
+    ]

@@ -591,6 +591,7 @@ def t3_case_split(spark, sf_dir):
 # =====================================================================
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM_SPARK = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
 
 @q(
     "f1_transliterate",
@@ -2219,4 +2220,187 @@ def sample_stratified_hash(spark, sf_dir):
         F.count("*").alias("n_sampled"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
+    )
+
+
+@q(
+    "quality_repetition",
+    f"""
+    WITH nw AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 2 THEN []
+                  ELSE [array_to_string(w[i:i+1], ' ')
+                        for i in generate_series(1, len(w) - 1)] END AS grams
+      FROM nw
+    ),
+    g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    agg AS (
+      SELECT doc_id, sum(c) AS n_grams, max(c) AS top_gram_count,
+             round(max(c) * 1.0 / sum(c), 6) AS repetition
+      FROM pg GROUP BY doc_id
+    )
+    SELECT nw.doc_id,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(top_gram_count, 0) AS top_gram_count,
+           coalesce(repetition, 0.0) AS repetition
+    FROM nw LEFT JOIN agg ON nw.doc_id = agg.doc_id
+    """,
+)
+def quality_repetition(spark, sf_dir):
+    """Repetition filter (Gopher rule family): fraction of word
+    2-grams taken by the single most common 2-gram.  Looping /
+    templated text -> ~1.0, prose -> low.  Two partial-aggregated
+    shuffles; no Python."""
+    from ..operators.quality import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs, n=2)
+
+
+_GQ_STOPS = ", ".join(f"'{w}'" for w in [
+    "the", "and", "of", "to", "in", "is", "that", "for", "with", "as",
+    "was", "on", "are", "by", "this", "be", "or", "an", "a", "it",
+])
+
+@q(
+    "quality_gopher_flags",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(w) AS wc,
+             CASE WHEN len(w) > 0
+                  THEN list_sum(list_transform(w, x -> length(x))) * 1.0
+                       / len(w)
+                  ELSE 0.0 END AS mean_wl,
+             CASE WHEN len(w) > 0
+                  THEN len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                       * 1.0 / len(w)
+                  ELSE 0.0 END AS alpha_ratio,
+             len(list_distinct(list_filter(w,
+               x -> list_contains([{_GQ_STOPS}], x)))) AS n_stops
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN wc >= 50 AND wc <= 100000 THEN 1 ELSE 0 END
+             AS flag_word_count,
+           CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1 ELSE 0 END
+             AS flag_mean_word_len,
+           CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END AS flag_alpha_ratio,
+           CASE WHEN n_stops >= 2 THEN 1 ELSE 0 END AS flag_stopwords,
+           (CASE WHEN wc >= 50 AND wc <= 100000 THEN 1 ELSE 0 END)
+           * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1 ELSE 0 END)
+           * (CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END)
+           * (CASE WHEN n_stops >= 2 THEN 1 ELSE 0 END) AS gopher_pass
+    FROM m
+    """,
+)
+def quality_gopher_flags(spark, sf_dir):
+    """Gopher word-level corpus-filter rules as flag columns (word
+    count band, mean word length band, alphabetic-word ratio, distinct
+    stopword presence) — the canonical web-corpus quality gate, all
+    higher-order functions."""
+    from ..operators.quality import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *gopher_quality_flags(F.col("text")))
+
+
+@q(
+    "corpus_length_quantiles",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT source, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM t
+    )
+    SELECT source,
+           max(n) AS n_docs,
+           max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT)
+                    THEN n_tokens END) AS p50,
+           max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
+                    THEN n_tokens END) AS p90
+    FROM r GROUP BY source
+    """,
+)
+def corpus_length_quantiles(spark, sf_dir):
+    """Corpus length statistics: EXACT discrete per-source token-count
+    quantiles via rank selection (engine-portable, unlike
+    percentile_approx whose sketch differs per engine).  One window +
+    one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.expr(_NORM_SPARK), " ")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    r = t.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    pick = lambda p: F.max(
+        F.when(
+            F.col("rk") == F.ceil(F.col("n") * p).cast("bigint"),
+            F.col("n_tokens"),
+        )
+    )
+    return r.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+    )
+
+
+@q(
+    "top_terms_per_source",
+    f"""
+    WITH w AS (
+      SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents
+    ),
+    c AS (
+      SELECT source, term, count(*) AS cnt
+      FROM w WHERE term <> '' GROUP BY source, term
+    ),
+    r AS (
+      SELECT source, term, cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, term ASC) AS rk
+      FROM c
+    )
+    SELECT source, term, cnt, rk FROM r WHERE rk <= 3
+    """,
+)
+def top_terms_per_source(spark, sf_dir):
+    """Per-source top-k terms (corpus vocabulary profile): explode ->
+    partial-aggregated count -> WindowGroupLimit top-3 with a
+    deterministic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    c = w.groupBy("source", "term").agg(F.count("*").alias("cnt"))
+    wk = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= 3)
+        .select("source", "term", "cnt", "rk")
     )

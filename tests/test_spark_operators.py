@@ -425,3 +425,35 @@ def test_hash_sample_deterministic_and_stratified(spark):
     # stratification changes decisions vs the unstratified cut
     flat = {r["doc_id"] for r in s.collect()}
     assert flat != a
+
+
+def test_repetition_and_gopher_flags(spark):
+    from pdfextract_spark.operators.quality import (
+        gopher_quality_flags,
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 200),                          # looping text
+            (2, " ".join(
+                f"word{i} the considering regarding of something"
+                for i in range(40)
+            )),
+            (3, "tiny"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rep = {r["doc_id"]: r["repetition"] for r in repetition_stats(docs).collect()}
+    assert rep[1] > 0.9          # one 2-gram dominates the loop
+    assert rep[2] < 0.3
+    assert rep[3] == 0.0         # < 2 words -> no grams
+    flags = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", *gopher_quality_flags(F.col("text"))).collect()
+    }
+    assert flags[2]["gopher_pass"] == 1
+    assert flags[3]["flag_word_count"] == 0 and flags[3]["gopher_pass"] == 0
+    # looping text passes word-count but that's fine: repetition is the
+    # filter that catches it; the flag battery is conjunctive with it
+    assert flags[1]["flag_stopwords"] == 0
