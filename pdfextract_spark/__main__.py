@@ -48,30 +48,44 @@ def apply_overrides(settings: Settings, pairs: list[str]) -> Settings:
     return dataclasses.replace(settings, **kv)
 
 
+def _load_transcripts(spark, args):
+    """Shared --input/--synth-from/--format handling (single source of
+    truth for the three subcommands)."""
+    if getattr(args, "synth_from", None):
+        from .sources import synth_transcripts
+
+        return synth_transcripts(spark, args.synth_from)
+    if getattr(args, "input", None):
+        from .sources.tables import read_transcripts
+
+        return read_transcripts(
+            spark, args.input, format=getattr(args, "format", "parquet")
+        )
+    raise SystemExit("one of --input / --synth-from is required")
+
+
+def _session(args, name):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName(name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
 def extract_bib(args) -> None:
     """References -> catalog resolution -> one BibTeX entry per
     reference (bin/pdf-extract extract-bib; resolution is a catalog
     join instead of per-row HTTP, see operators/resolve.py)."""
     import sys as _sys
 
-    from pyspark.sql import SparkSession
-
     settings = apply_overrides(DEFAULT, args.overrides)
-    spark = (
-        SparkSession.builder.master(args.master)
-        .appName("pdfextract-spark-bib")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("WARN")
-    if args.synth_from:
-        from .sources import synth_transcripts
-
-        transcripts = synth_transcripts(spark, args.synth_from)
-    elif args.input:
-        transcripts = spark.read.parquet(args.input)
-    else:
-        raise SystemExit("one of --input / --synth-from is required")
+    spark = _session(args, "pdfextract-spark-bib")
+    transcripts = _load_transcripts(spark, args)
 
     from .core.bibview import bib_entry
     from .operators.resolve import resolve_references, synth_citation_catalog
@@ -114,25 +128,10 @@ def mark(args) -> None:
     """Per-page SVG layout masks (bin/pdf-extract 'mark' analog)."""
     import sys as _sys
 
-    from pyspark.sql import SparkSession
-
     settings = apply_overrides(DEFAULT, args.overrides)
     types = tuple(t for t in args.types.split(",") if t)
-    spark = (
-        SparkSession.builder.master(args.master)
-        .appName("pdfextract-spark-mark")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("WARN")
-    if args.synth_from:
-        from .sources import synth_transcripts
-
-        transcripts = synth_transcripts(spark, args.synth_from)
-    elif args.input:
-        transcripts = spark.read.parquet(args.input)
-    else:
-        raise SystemExit("one of --input / --synth-from is required")
+    spark = _session(args, "pdfextract-spark-mark")
+    transcripts = _load_transcripts(spark, args)
 
     from .core import extract_turn
     from .core.maskview import render_turn_masks
@@ -210,6 +209,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     eb.add_argument("--input", help="transcripts parquet path")
     eb.add_argument("--synth-from", help="sf dir with documents.parquet")
+    eb.add_argument("--format", default="parquet",
+                    choices=["parquet", "orc", "json", "csv"])
     eb.add_argument("--catalog", help="metadata catalog parquet "
                     "(doi,title,author,year); synthetic when omitted")
     eb.add_argument("--output", required=True)
@@ -225,6 +226,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     mk.add_argument("--input", help="transcripts parquet path")
     mk.add_argument("--synth-from", help="sf dir with documents.parquet")
+    mk.add_argument("--format", default="parquet",
+                    choices=["parquet", "orc", "json", "csv"])
     mk.add_argument("--output", required=True)
     mk.add_argument("--types", default="regions,zones,columns")
     mk.add_argument("--set", dest="overrides", action="append", default=[])
@@ -257,22 +260,16 @@ def main(argv: list[str] | None = None) -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    if args.synth_from:
-        from .sources import synth_transcripts
-
-        transcripts = synth_transcripts(spark, args.synth_from)
-    elif args.input:
-        from .sources.tables import read_transcripts
-
-        transcripts = read_transcripts(spark, args.input, format=args.format)
-    else:
-        raise SystemExit("one of --input / --synth-from is required")
+    transcripts = _load_transcripts(spark, args)
 
     if args.render_as == "xml":
         from .core import extract_turn
         from .core.xmlview import render_turn_xml
 
-        kernel_want = tuple(chosen) or ARTIFACTS
+        # flag-less default stays the six primary artifacts: the debug
+        # set (characters/chunks/margins) is opt-in — per-glyph XML
+        # dwarfs the real outputs (plans/extract.py DEFAULT_ARTIFACTS)
+        kernel_want = tuple(chosen) or ARTIFACTS[:6]
         xml_lines = not args.no_lines
         xml_outline = args.outline
 
@@ -302,11 +299,17 @@ def main(argv: list[str] | None = None) -> None:
         )
         out.write.mode("overwrite").parquet(args.output)
     elif args.buckets:
+        if zone_filter:
+            raise SystemExit(
+                "--headers/--footers/--bodies are not supported with "
+                "--buckets (the bucketed sink writes whole result rows); "
+                "filter the zones column downstream instead"
+            )
         from .sinks import run_extraction_job
 
         run_extraction_job(
             spark, transcripts, args.output, settings,
-            n_buckets=args.buckets, resume=True,
+            n_buckets=args.buckets, resume=True, want=want,
         )
     else:
         from .plans.extract import extract

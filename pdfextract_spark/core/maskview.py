@@ -77,10 +77,17 @@ def render_mask_svg(
 
 
 def render_turn_masks(result: dict, **kw) -> dict[int, str]:
-    """All pages of one turn -> {page: svg}."""
+    """All pages of one turn -> {page: svg}.  Pages are derived from
+    every artifact the result carries — list-shaped (regions, zones,
+    columns, characters) and page-keyed dicts (margins, chunks) — so
+    e.g. ``mark --types margins`` still finds its pages."""
     pages = set()
-    for typ in ("regions", "zones", "columns"):
+    for typ in ("regions", "zones", "columns", "characters", "sections"):
         for o in result.get(typ) or []:
-            if "page" in o:
+            if isinstance(o, dict) and "page" in o:
                 pages.add(o["page"])
+    for typ in ("margins", "chunks"):
+        v = result.get(typ)
+        if isinstance(v, dict):
+            pages.update(v.keys())
     return {p: render_mask_svg(result, p, **kw) for p in sorted(pages)}

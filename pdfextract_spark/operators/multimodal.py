@@ -160,7 +160,10 @@ def sample_frames(
                 pooled = (
                     np.pad(raw, (0, pad)).reshape(feat_dim, -1).mean(axis=1)
                 )
-                n = min(max(int(dur) // every_ms, 1), feat_dim)
+                # NULL duration arrives as NaN through pandas: treat as
+                # unknown-length -> sample a single frame, don't crash
+                d = 0 if pd.isna(dur) else int(dur)
+                n = min(max(d // every_ms, 1), feat_dim)
                 for i in range(n):
                     mids.append(int(mid))
                     idxs.append(i)

@@ -73,11 +73,15 @@ def resolve_references(
     plain shuffle hash join; broadcast when the catalog slice fits).
     References without a parseable year resolve to NULL (the
     reference's resolvers likewise fail them, resolve.rb:29-33)."""
-    r = refs.withColumn("_rtoks", _tokens(F.col(ref_col))).withColumn(
-        "_ryear", _year(F.col(ref_col))
+    r = (
+        refs.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("_rtoks", _tokens(F.col(ref_col)))
+        .withColumn("_ryear", _year(F.col(ref_col)))
     )
     c = catalog.select(
         F.col("doi").alias("_doi"),
+        F.col("title").alias("_ctitle"),
+        F.col("author").alias("_cauthor"),
         F.col("year").alias("_cyear"),
         _tokens(F.concat_ws(" ", "title", "author")).alias("_ctoks"),
     )
@@ -88,18 +92,22 @@ def resolve_references(
         denom > 0, inter.cast("double") / denom.cast("double")
     ).otherwise(F.lit(0.0))
     scored = joined.withColumn("_score", score)
-    w = Window.partitionBy(*[refs[c] for c in refs.columns]).orderBy(
+    # the surrogate _rid preserves input cardinality: two identical
+    # reference rows stay two output rows
+    w = Window.partitionBy("_rid").orderBy(
         F.col("_score").desc(), F.col("_doi").asc()
     )
+    ok = F.col("_score") >= min_score
     best = (
         scored.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
         .select(
             *refs.columns,
-            F.when(F.col("_score") >= min_score, F.col("_doi")).alias("doi"),
-            F.when(F.col("_score") >= min_score, F.round("_score", 6))
-            .otherwise(F.lit(None))
-            .alias("score"),
+            F.when(ok, F.col("_doi")).alias("doi"),
+            F.when(ok, F.round("_score", 6)).alias("score"),
+            F.when(ok, F.col("_ctitle")).alias("title"),
+            F.when(ok, F.col("_cauthor")).alias("author"),
+            F.when(ok, F.col("_cyear")).alias("year"),
         )
     )
     return best

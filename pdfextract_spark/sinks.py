@@ -42,7 +42,8 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
     try:
         rows = (
-            spark.read.parquet(f"{out_dir}/{LINEAGE_SUBDIR}")
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{out_dir}/{LINEAGE_SUBDIR}")
             .select("bucket")
             .distinct()
             .collect()
@@ -61,6 +62,7 @@ def run_extraction_job(
     buckets_per_batch: int = 16,
     resume: bool = True,
     on_error: str = "fail",
+    want: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Execute the extraction over all (remaining) buckets in batches,
     committing output + lineage per batch.  Returns the lineage table.
@@ -84,7 +86,7 @@ def run_extraction_job(
         # back — the extraction output keeps (conv_id, turn_idx), so the
         # bucket is a pure projection (no shuffle).
         result = with_bucket(
-            extract(part, settings, on_error=on_error), n_buckets
+            extract(part, settings, on_error=on_error, want=want), n_buckets
         )
         result.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
 
@@ -104,7 +106,11 @@ def run_extraction_job(
         )
         lineage.write.mode("append").parquet(f"{out_dir}/{LINEAGE_SUBDIR}")
 
-    return spark.read.parquet(f"{out_dir}/{LINEAGE_SUBDIR}")
+    # mergeSchema: lineage written before a schema addition (e.g.
+    # turns_errored) must still read consistently on resumed jobs
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{out_dir}/{LINEAGE_SUBDIR}"
+    )
 
 
 def salted_conv_partials(result: DataFrame, salt_buckets: int = 16) -> DataFrame:

@@ -52,7 +52,7 @@ def read_transcripts(
         df = (
             spark.read.schema(TRANSCRIPT_DDL)
             .option("mode", "PERMISSIVE" if permissive else "FAILFAST")
-            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
             .json(path)
         )
     elif fmt == "csv":
