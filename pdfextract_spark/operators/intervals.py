@@ -25,19 +25,34 @@ def merge_intervals(
     running_max = F.max(F.col(hi)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    flagged = df.withColumn(
-        "_new",
+    # _rn is assigned in the SAME window evaluation as the running max,
+    # and the island cumsum orders by it.  With duplicate (lo, hi) rows
+    # the order key alone is not total, and a cumsum computed under a
+    # SECOND sort may permute tied rows differently from the flag pass
+    # (observed as a wrong merge in DuckDB at sf0.1) — keying the
+    # second pass on the unique _rn makes the composition
+    # deterministic, and tied rows are attribute-identical so the
+    # merged result is invariant to the _rn assignment itself.
+    flagged = df.select(
+        "*",
+        F.row_number().over(w).alias("_rn"),
         F.when(
             running_max.isNull() | (F.col(lo) > running_max), F.lit(1)
-        ).otherwise(F.lit(0)),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
     ).withColumn(
         "_island",
-        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        F.sum("_new").over(
+            Window.partitionBy(*part_cols)
+            .orderBy("_rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
     )
     return (
         flagged.groupBy(*part_cols, "_island")
         .agg(F.min(lo).alias(lo), F.max(hi).alias(hi))
-        .drop("_island")
+        .drop("_island", "_rn", "_new")
     )
 
 

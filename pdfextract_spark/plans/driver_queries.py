@@ -295,17 +295,18 @@ def a2_islands_sessionize(spark, sf_dir):
     ),
     g AS (
       SELECT l_suppkey, lo, hi,
-             CASE WHEN max(hi) OVER (PARTITION BY l_suppkey ORDER BY lo, hi
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                       IS NULL
-                    OR lo > max(hi) OVER (PARTITION BY l_suppkey ORDER BY lo, hi
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             row_number() OVER w AS rn,
+             CASE WHEN max(hi) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) IS NULL
+                    OR lo > max(hi) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING)
                   THEN 1 ELSE 0 END AS new_i
       FROM iv
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY lo, hi)
     ),
     isl AS (
       SELECT l_suppkey, lo, hi,
-             sum(new_i) OVER (PARTITION BY l_suppkey ORDER BY lo, hi
+             sum(new_i) OVER (PARTITION BY l_suppkey ORDER BY rn
                               ROWS UNBOUNDED PRECEDING) AS island
       FROM g
     ),
@@ -1323,7 +1324,8 @@ def pipeline_zones(spark, sf_dir):
       FROM lineitem
     ),
     lagged AS (
-      SELECT *, lag(y) OVER w AS py, lag(h) OVER w AS ph
+      SELECT *, lag(y) OVER w AS py, lag(h) OVER w AS ph,
+             row_number() OVER w AS rn
       FROM r WINDOW w AS (PARTITION BY page ORDER BY x, rid, y, h)
     ),
     flagged AS (
@@ -1335,7 +1337,7 @@ def pipeline_zones(spark, sf_dir):
       FROM lagged
     ),
     isl AS (
-      SELECT *, sum(flag) OVER (PARTITION BY page ORDER BY x, rid, y, h
+      SELECT *, sum(flag) OVER (PARTITION BY page ORDER BY rn
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       FROM flagged
     )
@@ -1364,8 +1366,14 @@ def a3_overlap_merge(spark, sf_dir):
     # rid alone is not a total order; adding (y, h) makes any remaining
     # ties fully-identical rows, for which lag order cannot matter.
     w = Window.partitionBy("page").orderBy("x", "rid", "y", "h")
-    r = r.withColumn("py", F.lag("y").over(w)).withColumn(
-        "ph", F.lag("h").over(w)
+    # rn in the same window evaluation as the lags; the island cumsum
+    # orders by it so duplicate rows cannot be permuted between the
+    # flag pass and the cumsum pass (see intervals.merge_intervals)
+    r = r.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.lag("y").over(w).alias("py"),
+        F.lag("h").over(w).alias("ph"),
     )
     ratio = (
         F.greatest(
@@ -1376,7 +1384,7 @@ def a3_overlap_merge(spark, sf_dir):
         / F.least(F.col("h"), F.col("ph"))
     )
     out = islands.islands(
-        r, ["page"], ["x", "rid", "y", "h"], F.col("py").isNull() | (ratio < 0.9)
+        r, ["page"], ["rn"], F.col("py").isNull() | (ratio < 0.9)
     )
     return out.groupBy("page", "island").agg(
         F.count("*").alias("members"),
@@ -1860,14 +1868,16 @@ def f12_margin_split(spark, sf_dir):
     ),
     lagged AS (
       SELECT page, y AS lo, y + h AS hi,
-             max(y + h) OVER (PARTITION BY page ORDER BY y, y + h
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+             row_number() OVER w AS rn,
+             max(y + h) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS runmax
       FROM r
+      WINDOW w AS (PARTITION BY page ORDER BY y, y + h)
     ),
     isl AS (
       SELECT page, lo, hi,
              sum(CASE WHEN runmax IS NULL OR lo > runmax THEN 1 ELSE 0 END)
-               OVER (PARTITION BY page ORDER BY lo, hi
+               OVER (PARTITION BY page ORDER BY rn
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       FROM lagged
     ),
