@@ -457,3 +457,40 @@ def test_repetition_and_gopher_flags(spark):
     # looping text passes word-count but that's fine: repetition is the
     # filter that catches it; the flag battery is conjunctive with it
     assert flags[1]["flag_stopwords"] == 0
+
+
+def test_merge_intervals_matches_bruteforce_union(spark):
+    """Differential test: merge_intervals vs a brute-force union over
+    300 randomized cases (seeded) with HEAVY duplication and touching
+    intervals — the adversarial shape that exposed the tie-order bug
+    the sf0.1 audit caught (duplicate (lo,hi) rows permuted between
+    the flag pass and the cumsum pass)."""
+    import random
+
+    from pdfextract_spark.operators.intervals import merge_intervals
+
+    rng = random.Random(1234)
+    rows = []
+    want = {}
+    for case in range(300):
+        ivs = []
+        for _ in range(rng.randrange(0, 25)):
+            lo = rng.randrange(0, 40)
+            hi = lo + rng.randrange(0, 12)
+            reps = rng.choice([1, 1, 1, 2, 5])   # heavy duplication
+            ivs.extend([(lo, hi)] * reps)
+        rows.extend((case, float(lo), float(hi)) for lo, hi in ivs)
+        merged = []
+        for lo, hi in sorted(set(ivs)):
+            if merged and lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        want[case] = sorted((float(a), float(b)) for a, b in merged)
+    df = spark.createDataFrame(rows, "case int, lo double, hi double")
+    got = {}
+    for r in merge_intervals(df, ["case"], "lo", "hi").collect():
+        got.setdefault(r["case"], []).append((r["lo"], r["hi"]))
+    got = {k: sorted(v) for k, v in got.items()}
+    for case, expect in want.items():
+        assert got.get(case, []) == expect, (case, got.get(case), expect)
