@@ -21,6 +21,10 @@ def merge_intervals(
     hi: str,
 ) -> DataFrame:
     """-> one row per merged (union) interval with ``lo``/``hi``."""
+    # project to just the needed columns: prunes the scan at scale and
+    # guarantees the internal _rn/_new names cannot collide with
+    # caller columns
+    df = df.select(*part_cols, lo, hi)
     w = Window.partitionBy(*part_cols).orderBy(F.col(lo), F.col(hi))
     running_max = F.max(F.col(hi)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -52,7 +56,7 @@ def merge_intervals(
     return (
         flagged.groupBy(*part_cols, "_island")
         .agg(F.min(lo).alias(lo), F.max(hi).alias(hi))
-        .drop("_island", "_rn", "_new")
+        .drop("_island")
     )
 
 

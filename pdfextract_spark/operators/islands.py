@@ -45,13 +45,20 @@ def sessionize(
     w = Window.partitionBy(*part_cols).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
     gap = F.col(ts_col).cast("double") - prev.cast("double")
+    # _rn assigned in the same window evaluation as the lag; the
+    # cumsum inside islands() is keyed on it so duplicate timestamps
+    # cannot permute between the flag pass and the cumsum pass (same
+    # fix as intervals.merge_intervals)
+    flagged = df.select(
+        "*", F.row_number().over(w).alias("_rn"), gap.alias("_gap")
+    )
     return islands(
-        df.withColumn("_gap", gap),
+        flagged,
         part_cols,
-        ts_col,
+        "_rn",
         F.col("_gap").isNull() | (F.col("_gap") > gap_seconds),
         "session_id",
-    ).drop("_gap")
+    ).drop("_gap", "_rn")
 
 
 def partition_at(
