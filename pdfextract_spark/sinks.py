@@ -140,3 +140,40 @@ def conv_metrics_rollup(result: DataFrame, salt_buckets: int = 16) -> DataFrame:
         F.sum("chars_in").alias("chars_in"),
         F.sum("refs_matched").alias("refs_matched"),
     )
+
+
+def write_table(
+    df: DataFrame,
+    target: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> str:
+    """Storage-dispatching sink: Iceberg ``writeTo`` when ``target`` is
+    a catalog identifier (``catalog.db.table``) and an Iceberg catalog
+    is on the classpath, parquet path otherwise.  Keeps every plan
+    upstream identical — the north_rule's Iceberg story concretely:
+    swapping storage is this one function.  Returns 'iceberg' or
+    'parquet' for the path taken."""
+    looks_like_ident = "/" not in target and target.count(".") >= 1
+    if looks_like_ident:
+        try:
+            w = df.writeTo(target)
+            if partition_by:
+                from pyspark.sql.functions import col as _col
+
+                w = w.partitionedBy(*[_col(c) for c in partition_by])
+            if mode == "overwrite":
+                w.createOrReplace()
+            else:
+                w.append()
+            return "iceberg"
+        except Exception as exc:  # no catalog / no iceberg jars
+            raise RuntimeError(
+                f"writeTo({target!r}) failed — is an Iceberg catalog "
+                f"configured? Underlying error: {exc}"
+            ) from exc
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target)
+    return "parquet"

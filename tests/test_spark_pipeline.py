@@ -310,3 +310,21 @@ def test_read_transcripts_all_formats_equal(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_transcripts(spark, "/tmp/x", format="avro")
+
+
+def test_write_table_dispatch(spark, tmp_path):
+    """Storage dispatch: parquet for paths (partitioned, readable
+    round-trip); catalog identifiers raise a clear error when no
+    Iceberg catalog is configured (this container has no iceberg
+    jars)."""
+    import pytest as _pytest
+
+    from pdfextract_spark.sinks import write_table
+
+    df = spark.range(12).selectExpr("id", "id % 4 as b")
+    out = str(tmp_path / "t")
+    assert write_table(df, out, mode="overwrite", partition_by=["b"]) == "parquet"
+    back = spark.read.parquet(out)
+    assert back.count() == 12 and "b" in back.columns
+    with _pytest.raises(RuntimeError, match="Iceberg catalog"):
+        write_table(df, "main.db.tbl", mode="overwrite")
