@@ -29,7 +29,14 @@ def bib_entry(row: dict) -> str:
     doi = row.get("doi")
     year = row.get("year") or ""
     author = row.get("author") or ""
-    surname = author.split()[-1] if author else "anon"
+    # 'Surname, Given' lists the surname first — split on ',' before
+    # falling back to last-whitespace-token for 'Given Surname'
+    first_author = author.split(" and ")[0].strip()
+    if "," in first_author:
+        surname = first_author.split(",")[0].strip()
+    else:
+        surname = first_author.split()[-1] if first_author else "anon"
+    surname = "".join(ch for ch in surname if ch.isalnum()) or "anon"
     key = f"{surname.lower()}{year}" if (author or year) else "unresolved"
     fields = []
     for name in ("title", "author", "journal", "pages"):

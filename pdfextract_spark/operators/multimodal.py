@@ -156,10 +156,15 @@ def sample_frames(
                 pdf["media_id"], pdf["duration_ms"], pdf["payload"]
             ):
                 raw = _decode_image_stub(bytes(payload or b""))
-                pad = (-raw.size) % feat_dim
-                pooled = (
-                    np.pad(raw, (0, pad)).reshape(feat_dim, -1).mean(axis=1)
-                )
+                if raw.size == 0:
+                    # empty/NULL payload: zero-width mean is NaN +
+                    # RuntimeWarning — emit a defined 0.0 signature
+                    pooled = np.zeros(feat_dim)
+                else:
+                    pad = (-raw.size) % feat_dim
+                    pooled = (
+                        np.pad(raw, (0, pad)).reshape(feat_dim, -1).mean(axis=1)
+                    )
                 # NULL duration arrives as NaN through pandas: treat as
                 # unknown-length -> sample a single frame, don't crash
                 d = 0 if pd.isna(dur) else int(dur)

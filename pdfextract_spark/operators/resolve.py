@@ -72,7 +72,19 @@ def resolve_references(
     (at CrossRef scale each year block is ~2-5M rows and the join is a
     plain shuffle hash join; broadcast when the catalog slice fits).
     References without a parseable year resolve to NULL (the
-    reference's resolvers likewise fail them, resolve.rb:29-33)."""
+    reference's resolvers likewise fail them, resolve.rb:29-33).
+
+    ``refs`` must not already carry the appended columns (doi, score,
+    title, author, year) — re-resolving prior output would produce
+    ambiguous duplicate names, so that is rejected up front (same
+    contract style as rangejoin's reserved-column guard)."""
+    appended = ("doi", "score", "title", "author", "year")
+    clash = [c for c in refs.columns if c in appended]
+    if clash:
+        raise ValueError(
+            f"refs already has column(s) {clash}; resolve_references "
+            f"appends {list(appended)} — drop or rename them first"
+        )
     r = (
         refs.withColumn("_rid", F.monotonically_increasing_id())
         .withColumn("_rtoks", _tokens(F.col(ref_col)))

@@ -147,15 +147,34 @@ def write_table(
     target: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    storage: str = "auto",
 ) -> str:
     """Storage-dispatching sink: Iceberg ``writeTo`` when ``target`` is
     a catalog identifier (``catalog.db.table``) and an Iceberg catalog
     is on the classpath, parquet path otherwise.  Keeps every plan
     upstream identical — the north_rule's Iceberg story concretely:
     swapping storage is this one function.  Returns 'iceberg' or
-    'parquet' for the path taken."""
-    looks_like_ident = "/" not in target and target.count(".") >= 1
-    if looks_like_ident:
+    'parquet' for the path taken.
+
+    Dispatch is explicit-first: ``storage='iceberg'`` / ``'parquet'``
+    forces the branch, as does an ``iceberg:`` target prefix.  In
+    ``'auto'`` mode a slash-free dotted string is an Iceberg
+    identifier *unless* it ends in a file extension (``.parquet`` /
+    ``.pq``), so a relative path like ``'out.parquet'`` writes parquet
+    instead of erroring on a missing catalog."""
+    if storage not in ("auto", "iceberg", "parquet"):
+        raise ValueError(f"storage must be auto|iceberg|parquet, got {storage!r}")
+    if target.startswith("iceberg:"):
+        target = target[len("iceberg:"):]
+        storage = "iceberg"
+    if storage == "auto":
+        file_like = target.rsplit(".", 1)[-1].lower() in ("parquet", "pq")
+        storage = (
+            "iceberg"
+            if "/" not in target and target.count(".") >= 1 and not file_like
+            else "parquet"
+        )
+    if storage == "iceberg":
         try:
             w = df.writeTo(target)
             if partition_by:

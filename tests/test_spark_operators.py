@@ -270,6 +270,13 @@ def test_sample_frames_fanout_and_determinism(spark):
     assert again == first
     with _pytest.raises(ValueError):
         M.sample_frames(media, every_ms=0)
+    # empty / NULL payloads emit a defined 0.0 signature, never NaN
+    empty = spark.createDataFrame(
+        [(900, 1000, b""), (901, 1000, None)],
+        "media_id long, duration_ms long, payload binary",
+    )
+    rows = M.sample_frames(empty, every_ms=250).collect()
+    assert len(rows) == 8 and all(r["frame_sig"] == 0.0 for r in rows)
 
 
 def test_resize_media_shape_and_determinism(spark):
@@ -354,6 +361,13 @@ def test_resolve_references_catalog_join(spark):
     assert out[3]["doi"] is None
     # every input reference survives the join exactly once
     assert len(out) == 3
+    # re-resolving prior output would duplicate the appended column
+    # names — rejected up front instead of producing ambiguous selects
+    import pytest as _pytest
+
+    resolved_df = resolve_references(refs, cat)
+    with _pytest.raises(ValueError, match="doi"):
+        resolve_references(resolved_df, cat)
 
 
 def test_bib_entry_rendering():
@@ -374,6 +388,14 @@ def test_bib_entry_rendering():
     assert m.startswith("@misc{") and "raw citation text" in m
     doc = render_bib([resolved, unresolved])
     assert doc.count("@") == 2 and doc.endswith("\n")
+    # 'Surname, Given' keys on the surname, and BibTeX-invalid
+    # characters are stripped from the key
+    assert bib_entry({"author": "Lovelace, Ada", "year": 1975, "doi": "x"}).startswith(
+        "@article{lovelace1975,"
+    )
+    assert bib_entry({"author": "O'Brien, Pat", "year": 2001, "doi": "x"}).startswith(
+        "@article{obrien2001,"
+    )
 
 
 def test_decontamination_positive_and_negative(spark):

@@ -328,3 +328,14 @@ def test_write_table_dispatch(spark, tmp_path):
     assert back.count() == 12 and "b" in back.columns
     with _pytest.raises(RuntimeError, match="Iceberg catalog"):
         write_table(df, "main.db.tbl", mode="overwrite")
+    # a dotted *filename* is a parquet path, not a catalog identifier
+    rel = str(tmp_path / "out.parquet")
+    assert write_table(df, rel, mode="overwrite") == "parquet"
+    assert spark.read.parquet(rel).count() == 12
+    # explicit dispatch overrides auto-detection both ways
+    with _pytest.raises(RuntimeError, match="Iceberg catalog"):
+        write_table(df, "iceberg:main.db.tbl", mode="overwrite")
+    forced = str(tmp_path / "forced.out")
+    assert write_table(df, forced, storage="parquet", mode="overwrite") == "parquet"
+    with _pytest.raises(ValueError, match="storage"):
+        write_table(df, forced, storage="csv")
