@@ -55,6 +55,20 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+_REPO_ROOT = __file__.rsplit("/", 3)[0]
+
+
+def _golden(name: str) -> str:
+    """Exact-value oracle for a UDF-bound pipeline query: the
+    deterministic per-turn kernel IS the single-node oracle, so its
+    frozen output (tools/freeze_pipeline_goldens.py) is the expected
+    table.  The driver grades at sf0.01; tools/check_oracle.py
+    substitutes the sf segment when sweeping other scale factors."""
+    return (
+        "SELECT * FROM read_parquet("
+        f"'{_REPO_ROOT}/goldens/pipeline/sf0.01/{name}.parquet')"
+    )
+
 
 def q(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -990,7 +1004,7 @@ def _transcripts(spark, sf_dir):
     return synth_transcripts(spark, sf_dir)
 
 
-@q("pipeline_references")
+@q("pipeline_references", _golden("pipeline_references"))
 def pipeline_references(spark, sf_dir):
     """Full extraction -> one row per extracted reference string
     (A5/A7/F10-F12 composite; driver does a rows-only check since the
@@ -1000,7 +1014,7 @@ def pipeline_references(spark, sf_dir):
     return extract_exploded(_transcripts(spark, sf_dir), "references")
 
 
-@q("pipeline_titles")
+@q("pipeline_titles", _golden("pipeline_titles"))
 def pipeline_titles(spark, sf_dir):
     """Full extraction -> per-turn title rows (W4/P3 composite)."""
     from .extract import extract_exploded
@@ -1008,7 +1022,7 @@ def pipeline_titles(spark, sf_dir):
     return extract_exploded(_transcripts(spark, sf_dir), "titles")
 
 
-@q("pipeline_regions")
+@q("pipeline_regions", _golden("pipeline_regions"))
 def pipeline_regions(spark, sf_dir):
     """Full extraction -> per-region rows with line arrays (A1-A5/W5)."""
     from .extract import extract_exploded
@@ -1016,7 +1030,7 @@ def pipeline_regions(spark, sf_dir):
     return extract_exploded(_transcripts(spark, sf_dir), "regions").drop("lines")
 
 
-@q("pipeline_metrics")
+@q("pipeline_metrics", _golden("pipeline_metrics"))
 def pipeline_metrics(spark, sf_dir):
     """Per-partition lineage metrics rollup (north_rule: extraction
     metrics — chars in, regions found, references matched)."""
@@ -1289,7 +1303,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     )
 
 
-@q("pipeline_sections")
+@q("pipeline_sections", _golden("pipeline_sections"))
 def pipeline_sections(spark, sf_dir):
     """Full extraction -> per-section rows with stats + scores (A7-A9
     composite; rows-only)."""
@@ -1300,7 +1314,7 @@ def pipeline_sections(spark, sf_dir):
     )
 
 
-@q("pipeline_zones")
+@q("pipeline_zones", _golden("pipeline_zones"))
 def pipeline_zones(spark, sf_dir):
     """Full extraction -> per-zone rows (T3/T4 composite; rows-only)."""
     from .extract import extract_exploded
@@ -1926,7 +1940,7 @@ def j4_zone_assembly(spark, sf_dir):
     return m.join(mask, "page")
 
 
-@q("pipeline_conv_rollup")
+@q("pipeline_conv_rollup", _golden("pipeline_conv_rollup"))
 def pipeline_conv_rollup(spark, sf_dir):
     """Conversation-level metric rollup over the extraction output with
     salted two-phase aggregation (sinks.conv_metrics_rollup) — the
@@ -2138,7 +2152,7 @@ def j5_resolve_catalog_join(spark, sf_dir):
     return out.select("ref_id", "doi", "score")
 
 
-@q("pipeline_resolved_references")
+@q("pipeline_resolved_references", _golden("pipeline_resolved_references"))
 def pipeline_resolved_references(spark, sf_dir):
     """Full extraction -> references -> catalog resolution (the
     reference's `extract-bib` semantic path, minus network).  Refs

@@ -312,6 +312,42 @@ def test_read_transcripts_all_formats_equal(spark, tmp_path):
         read_transcripts(spark, "/tmp/x", format="avro")
 
 
+def test_pipeline_goldens_current(spark):
+    """The committed golden parquets (exact oracles for the UDF-bound
+    pipeline queries) must match what the kernel computes TODAY — a
+    semantic change without `tools/freeze_pipeline_goldens.py` fails
+    here, not silently in the driver's gate.  pipeline_metrics is the
+    cheapest whole-pipeline checksum (chars/regions/refs over every
+    turn); pipeline_references pins the exact extracted strings."""
+    import pandas as pd
+
+    from pdfextract_spark.plans.driver_queries import QUERIES
+
+    root = __file__.rsplit("/", 2)[0]
+    for name in ("pipeline_metrics", "pipeline_references"):
+        want = pd.read_parquet(
+            f"{root}/goldens/pipeline/sf0.001/{name}.parquet"
+        )
+        cols = list(want.columns)
+        want = want.sort_values(cols, ignore_index=True)
+        got = (
+            QUERIES[name](spark, "/root/testdata/sf0.001")
+            .toPandas()[cols]
+            .sort_values(cols, ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every golden the oracles point at exists, at all swept SFs
+    import os
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        for name in (
+            "pipeline_references pipeline_titles pipeline_regions "
+            "pipeline_metrics pipeline_sections pipeline_zones "
+            "pipeline_conv_rollup pipeline_resolved_references"
+        ).split():
+            assert os.path.exists(f"{root}/goldens/pipeline/{sf}/{name}.parquet")
+
+
 def test_write_table_dispatch(spark, tmp_path):
     """Storage dispatch: parquet for paths (partitioned, readable
     round-trip); catalog identifiers raise a clear error when no

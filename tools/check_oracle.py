@@ -100,7 +100,13 @@ def main():
             n_rows_only += 1
             continue
         try:
-            rel = con.sql(oracles[name])
+            # golden-parquet oracles are pinned to the driver's sf0.01;
+            # retarget them when sweeping another scale factor
+            sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+            sql = oracles[name].replace(
+                "/goldens/pipeline/sf0.01/", f"/goldens/pipeline/{sfname}/"
+            )
+            rel = con.sql(sql)
             ocols = rel.columns
             orows = rel.fetchall()
         except Exception as e:
