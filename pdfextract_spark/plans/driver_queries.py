@@ -1634,20 +1634,54 @@ def multimodal_features(spark, sf_dir):
     )
 
 
-@q("ann_cosine_topk_ivf")
+def _ivf_oracle(n_planes: int = 6, radius: int = 2, seed: int = 7) -> str:
+    """Exact DuckDB replica of the hyperplane-LSH IVF: the same plane
+    literals produce the same sign bits (minimum |dot| margin on the
+    test embeddings is ~1e-4, far above any summation-order noise), and
+    the Hamming-ball probe is phrased as bit_count(xor(bucket,
+    q_bucket)) <= radius — equivalent to the Spark side's static probe
+    IN-list, but independent of the query vector's value so one SQL
+    string covers every scale factor."""
+    planes = similarity.seeded_hyperplanes(n_planes, 64, seed)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             ({bucket_terms})::BIGINT AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(v, qv), 4)::DOUBLE AS cos_sim
+    FROM b, q
+    WHERE bit_count(xor(bucket, qbucket)) <= {radius}
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@q("ann_cosine_topk_ivf", _ivf_oracle())
 def ann_cosine_topk_ivf(spark, sf_dir):
-    """IVF-bucketed ANN (scale path of ann_cosine_topk): exact cosine
-    restricted to the query's quantization cell +/- 1 probe per dim,
-    then top-k.  Recall < 1 by design, so no SQL oracle — the driver
-    records a rows-only check; test_ivf_bucket_prunes pins pruning."""
+    """IVF/LSH ANN (scale path of ann_cosine_topk): seeded random-
+    hyperplane sign buckets, multi-probe within Hamming radius 2 of
+    the query's bucket (22 of 64 cells), exact cosine on candidates,
+    top-k.  The probe filter is a static IN-list so a table bucketed
+    on lsh_bucket gets partition pruning; the DuckDB oracle replicates
+    the bucketing bit-for-bit, so this is a hash-exact check of the
+    ANN algorithm itself (recall vs brute force is pinned separately
+    by tests/test_spark_operators.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = (
         emb.where(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>"))
         .head()[0]
     )
-    out = similarity.cosine_topk_ivf(emb, list(qvec), k=10)
-    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+    return similarity.cosine_topk_ivf(emb, list(qvec), k=10)
 
 
 @q(

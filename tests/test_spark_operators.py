@@ -159,13 +159,19 @@ def test_cosine_topk_self_first(spark):
 
 
 def test_ivf_bucket_prunes(spark):
+    """Hyperplane-LSH candidate pruning: a near-duplicate of the query
+    shares every sign bit (Hamming 0 — probed); the query's negation
+    flips every sign bit (Hamming n_planes > radius — pruned)."""
+    q = [0.31, -0.74, 0.2, 0.55]
+    near = [x * 1.01 + 0.001 for x in q]
+    far = [-x for x in q]
     df = spark.createDataFrame(
-        [(0, [0.05, 0.05]), (1, [0.06, 0.06]), (2, [5.0, 5.0])],
+        [(0, q), (1, near), (2, far)],
         "vec_id bigint, embedding array<double>",
     )
-    out = similarity.cosine_topk_ivf(df, [0.05, 0.05], k=10, dims=2, width=0.2)
+    out = similarity.cosine_topk_ivf(df, q, k=10, n_planes=6, radius=2)
     ids = {r["vec_id"] for r in out.collect()}
-    assert 0 in ids and 1 in ids and 2 not in ids  # far bucket pruned
+    assert 0 in ids and 1 in ids and 2 not in ids  # negation pruned
 
 
 def test_quality_and_langid(spark):
@@ -294,11 +300,13 @@ def test_resize_media_shape_and_determinism(spark):
 
 
 def test_ivf_recall_on_real_embeddings(spark):
-    """IVF ANN recall against the brute-force ground truth on the
-    driver's deterministic embeddings table: with 1-cell probing on a
-    2-dim quantizer the top-10 recall must stay useful (>= 0.5) and the
-    candidate set must actually prune (< full table).  Deterministic
-    data -> deterministic recall, no flakiness."""
+    """Hyperplane-LSH ANN against brute-force ground truth on the
+    driver's deterministic embeddings table.  The table is uniform
+    random (no planted neighbors — ANN's worst case), so the honest
+    claims are: (a) recall@10 stays useful at ~1/3 the scan cost,
+    (b) the probe filter genuinely prunes, and (c) a PLANTED
+    near-duplicate — the actual near-dup-retrieval use case — is
+    recovered at rank 1.  Deterministic data -> no flakiness."""
     from pdfextract_spark.operators import similarity
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -312,29 +320,31 @@ def test_ivf_recall_on_real_embeddings(spark):
     }
     approx = {
         r["vec_id"]
-        for r in similarity.cosine_topk_ivf(
-            emb, qvec, k=10, dims=2, width=0.2, probe=1
-        ).collect()
+        for r in similarity.cosine_topk_ivf(emb, qvec, k=10).collect()
     }
     recall = len(truth & approx) / len(truth)
-    assert recall >= 0.5, f"recall@10 = {recall}"
-    # and the bucket filter must prune: candidate count < table size
-    from pyspark.sql import functions as _F
-
-    n_total = emb.count()
-    bucket = similarity.ivf_bucket(
-        _F.col("embedding").cast("array<double>"), 2, 0.2
+    assert recall >= 0.4, f"recall@10 = {recall}"
+    # the probe filter must prune: candidates cover < 60% of the table
+    planes = similarity.seeded_hyperplanes(6, len(qvec))
+    allowed = similarity.probe_buckets(qvec, planes, radius=2)
+    assert len(allowed) == 22  # C(6,0)+C(6,1)+C(6,2) of 64 cells
+    bucket = similarity.lsh_bucket(
+        F.col("embedding").cast("array<double>"), planes
     )
-    import math
-
-    q_cells = [math.floor(qvec[i] / 0.2) for i in range(2)]
-    # count rows sharing the query's exact cell +- 1 per dim
-    codes = []
-    for d0 in (-1, 0, 1):
-        for d1 in (-1, 0, 1):
-            codes.append((q_cells[0] + d0) * 1000 + (q_cells[1] + d1))
-    n_cand = emb.where(bucket.isin(codes)).count()
-    assert 0 < n_cand < n_total
+    n_total = emb.count()
+    n_cand = emb.where(bucket.isin(allowed)).count()
+    assert 0 < n_cand < 0.6 * n_total
+    # planted near-duplicate lands in the query's bucket, rank 1
+    dup = spark.createDataFrame(
+        [(99999, [x * 1.01 + 1e-4 for x in qvec])],
+        "vec_id bigint, embedding array<double>",
+    )
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>"))
+    out = similarity.cosine_topk_ivf(base.unionByName(dup), qvec, k=10).collect()
+    # vec 0 (the query itself) wins the cos=1.0 tie on vec_id; the
+    # planted duplicate must be recovered immediately after it
+    assert out[0]["vec_id"] == 0
+    assert out[1]["vec_id"] == 99999 and out[1]["cos_sim"] >= 0.999
 
 
 def test_resolve_references_catalog_join(spark):
