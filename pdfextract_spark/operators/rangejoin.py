@@ -27,6 +27,39 @@ def _cells(lo: Column, hi: Column, width: float) -> Column:
     )
 
 
+def auto_cell_width(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    sample_fraction: float | None = None,
+) -> float:
+    """Data-derived grid cell width: the approximate median interval
+    length across both sides (one cheap map-side-combinable agg; pass
+    ``sample_fraction`` to sample first at very large inputs).
+
+    Median-length cells keep the explode fan-out at O(1) cells per
+    interval (a typical interval covers 1-2 cells) while keeping cells
+    selective (a cell holds ~the intervals overlapping one median
+    length) — a hand-picked constant mis-sized against the real
+    distribution either multiplies the explode or degenerates the
+    per-cell join toward nested loops.  Degenerate inputs (all
+    zero-length intervals) clamp to 1.0."""
+    lens = a.select((F.col(a_hi) - F.col(a_lo)).alias("_len")).unionAll(
+        b.select((F.col(b_hi) - F.col(b_lo)).alias("_len"))
+    )
+    if sample_fraction is not None:
+        lens = lens.sample(fraction=sample_fraction, seed=7)
+    med = lens.agg(
+        F.percentile_approx("_len", 0.5, 1000).alias("m")
+    ).head()["m"]
+    if med is None or not med > 0:
+        return 1.0
+    return float(med)
+
+
 def interval_join(
     a: DataFrame,
     b: DataFrame,
@@ -35,15 +68,19 @@ def interval_join(
     a_hi: str = "hi",
     b_lo: str = "lo",
     b_hi: str = "hi",
-    cell_width: float = 50.0,
+    cell_width: float | None = None,
 ) -> DataFrame:
     """Inner join of ``a`` × ``b`` on equal ``on`` keys and closed-
     interval overlap ``a_lo <= b_hi AND b_lo <= a_hi``.
 
     Columns of both inputs are preserved (``on`` keys once); interval
     column names must not collide across sides (alias before calling).
-    Each matching pair appears exactly once.
+    Each matching pair appears exactly once.  ``cell_width=None``
+    (default) derives the grid size from the sampled median interval
+    length (``auto_cell_width``) instead of trusting a constant.
     """
+    if cell_width is None:
+        cell_width = auto_cell_width(a, b, a_lo, a_hi, b_lo, b_hi)
     if not cell_width > 0:
         raise ValueError(f"cell_width must be > 0, got {cell_width}")
     ae = a.withColumn("_cell", F.explode(_cells(F.col(a_lo), F.col(a_hi), cell_width)))

@@ -1729,7 +1729,6 @@ def j1_interval_join(spark, sf_dir):
     )
     pairs = interval_join(
         a, b, ["page"], a_lo="a_lo", a_hi="a_hi", b_lo="b_lo", b_hi="b_hi",
-        cell_width=16.0,
     )
     return pairs.groupBy("page").agg(
         F.count("*").alias("n_pairs"),

@@ -246,6 +246,21 @@ def test_interval_join_matches_naive_theta(spark):
     )
     want = sorted((r["aid"], r["bid"]) for r in naive.collect())
     assert got == want == [("a1", "b1"), ("a2", "b2")]
+    # autotuned default (cell_width=None -> sampled median interval
+    # length) must give identical pairs, and the tuner itself lands on
+    # the data's median and clamps degenerate all-zero-length inputs
+    from pdfextract_spark.operators.rangejoin import auto_cell_width
+
+    auto = interval_join(
+        a, b, ["page"], a_lo="a_lo", a_hi="a_hi", b_lo="b_lo", b_hi="b_hi"
+    )
+    assert sorted((r["aid"], r["bid"]) for r in auto.collect()) == want
+    w = auto_cell_width(a, b, "a_lo", "a_hi", "b_lo", "b_hi")
+    assert 5 <= w <= 200  # median of interval lengths, not an extreme
+    pts = spark.createDataFrame(
+        [(1, 5, 5)], "page int, a_lo long, a_hi long"
+    )
+    assert auto_cell_width(pts, pts, "a_lo", "a_hi", "a_lo", "a_hi") == 1.0
 
 
 def test_sample_frames_fanout_and_determinism(spark):
