@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import re
 
-from .names import name_frequency
+from .names import _weight, name_frequency
 
 # --- F1: transliterate (language.rb:5-38) --------------------------------
 # Ligature expansion + punctuation normalization, then whitespace collapse.
@@ -119,6 +119,7 @@ def name_ratio(s: str) -> float:
 # --- fused A8 stats (one split, shared across all ratios) -----------------
 _DEL_LETTERS = {ord(c): None for c in
                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-[],.\"'()"}
+_DEL_CAPS = {ord(c): None for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"}
 
 
 def content_stats(content: str) -> dict:
@@ -127,8 +128,6 @@ def content_stats(content: str) -> dict:
     splitting the text once and using translate-deletion for the
     letter count.  Each component equals its standalone function
     (pinned by tests/test_language_fused.py)."""
-    from .names import _weight
-
     words = content.split()
     n_words = len(words)
     n = len(content)
@@ -141,7 +140,9 @@ def content_stats(content: str) -> dict:
         year = sum(
             1 for w in words if len(w) >= 6 and _YEAR_RE.search(w)
         ) / n_words
-        caps = len(_CAP_RE.findall(content))
+        # caps count by translate-deletion (C-level, no match-list
+        # allocation) — equals len(_CAP_RE.findall(content))
+        caps = n - len(content.translate(_DEL_CAPS))
         uncounted = len(_CAP_AT_START_RE.findall(content))
         cap = (caps - uncounted) / n_words
         total_w = 0.0

@@ -49,11 +49,11 @@ def extract_turn(
     columns, sections, title, references, page_count, metrics.
     """
     if chars:
-        char_objs = [vars(c) for c in typeset_chars(text, settings)]
+        char_objs = typeset_chars(text, settings)
         by_page = _group_by_page(char_objs)
         chunk_pages = {p: chunks_for_page(cs, settings) for p, cs in by_page.items()}
     else:
-        line_objs = [vars(l) for l in typeset_lines(text, settings)]
+        line_objs = typeset_lines(text, settings)
         by_page = _group_by_page(line_objs)
         # fast path: a typeset line IS a chunk (see module docstring);
         # P1 empty filter still applies, and the A3 pass leaves chunks
@@ -66,8 +66,12 @@ def extract_turn(
             for p, cs in by_page.items()
         }
 
+    # chunk dicts are rebuilt fresh every turn, so the region merge may
+    # mutate them in place — UNLESS the caller asked for the chunks
+    # artifact itself, which must stay pristine
     region_pages = {
-        p: regions_for_page(cs, settings) for p, cs in chunk_pages.items()
+        p: regions_for_page(cs, settings, copy="chunks" in want)
+        for p, cs in chunk_pages.items()
     }
     all_regions = [r for p in region_pages for r in region_pages[p]]
 
@@ -92,8 +96,7 @@ def extract_turn(
         # S2 char runs as an artifact (reference CLI --characters);
         # reuse the parity-mode objects when already typeset
         out["characters"] = (
-            char_objs if chars
-            else [vars(c) for c in typeset_chars(text, settings)]
+            char_objs if chars else typeset_chars(text, settings)
         )
     if "chunks" in want:
         out["chunks"] = chunk_pages

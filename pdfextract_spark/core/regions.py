@@ -55,7 +55,9 @@ def _text_len(obj: dict) -> int:
     return max(total, 0)
 
 
-def regions_for_page(chunks: list[dict], settings: Settings) -> list[dict]:
+def regions_for_page(
+    chunks: list[dict], settings: Settings, copy: bool = True
+) -> list[dict]:
     """Exact replication of regions.rb:50-112 for one page's chunks
     (given in emission order).
 
@@ -74,7 +76,10 @@ def regions_for_page(chunks: list[dict], settings: Settings) -> list[dict]:
     # ascending-y order; the reference's sorted insert puts ties
     # NEWEST-first (insert before the first obj with obj.y >= chunk.y),
     # replicated with a stable sort on (y, -arrival index).
-    ordered = [dict(c) for c in chunks]
+    # ``copy=False`` lets a caller that owns the chunk dicts (the
+    # per-turn fast path, which rebuilds them every turn) skip the
+    # defensive copy; the merge mutates them in place either way.
+    ordered = [dict(c) for c in chunks] if copy else list(chunks)
     for i, c in enumerate(ordered):
         c["_arr"] = i
     ordered.sort(key=lambda c: (c["y"], -c["_arr"]))
@@ -111,12 +116,21 @@ def regions_for_page(chunks: list[dict], settings: Settings) -> list[dict]:
             b["y"] = bly
             b["width"] = trx - blx
             b["height"] = try_ - bly
-            b["lines"] = t["lines"] + b["lines"]
+            # result order is t.lines + b.lines, but lines are STORED
+            # reversed during the loop (finalized below): appending
+            # t's single line is O(1) instead of the O(|b.lines|)
+            # re-concatenation, which was quadratic per region
+            tl = t["lines"]
+            # (t is never an accumulator in this loop — only
+            # ordered[0] collects lines — so tl is a single line; if a
+            # multi-line t ever appeared it would itself be
+            # reverse-stored, making extend() order-preserving)
+            b["lines"].extend(tl)
             # incremental text length: t's lines are prepended, so the
             # trailing-strip (already folded into b's cached length)
             # is unaffected; each prepended line adds len±1.
             add = 0
-            for line in t["lines"]:
+            for line in tl:
                 c = line["content"]
                 add += len(c) - 1 if c.endswith("-") else len(c) + 1
             b["_tlen"] += add
@@ -132,6 +146,7 @@ def regions_for_page(chunks: list[dict], settings: Settings) -> list[dict]:
         regions.append(ordered[0])
     for region in regions:
         region.pop("_tlen", None)
+        region["lines"].reverse()  # undo the reversed merge storage
 
     for region in regions:
         _append_line_offsets(region)

@@ -26,7 +26,8 @@ results are bit-stable across platforms.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from bisect import bisect_right
+from itertools import accumulate
 
 from ..settings import Settings, Typesetter
 from .fontmetrics import (
@@ -44,62 +45,34 @@ _PARA_RE = re.compile(r"\n{2,}")
 # detector, columns.rb:52-83, with genuinely multi-column layouts).
 COLUMN_MARKER = "<<2col>>"
 
-
-@dataclass
-class Line:
-    """One typeset line == one text chunk on the fast path.
-
-    Field names mirror the reference's conventional spatial attribute
-    set (spatial.rb:11, characters.rb:102-113).
-    """
-
-    x: float
-    y: float  # bottom (baseline-box bottom), PDF-style origin
-    width: float
-    height: float
-    line_height: float
-    content: str
-    font: str
-    page: int
-    page_width: float
-    page_height: float
-
-    # per-word x offsets within the line (for char-level parity mode)
-    def __post_init__(self) -> None:
-        pass
-
-
-@dataclass
-class Char:
-    x: float
-    y: float
-    width: float
-    height: float
-    line_height: float
-    content: str
-    font: str
-    page: int
-    page_width: float
-    page_height: float
+# Typeset rows are plain dicts (the hot path runs once per turn inside
+# the Arrow batch — dataclass construction + vars() conversion was
+# ~10% of kernel time).  Field set mirrors the reference's spatial
+# attribute convention (spatial.rb:11, characters.rb:102-113):
+#   x, y (bottom, PDF-style origin), width, height, line_height,
+#   content, font, page, page_width, page_height
 
 
 def _wrap_paragraph(
     para: str, avail_units: int, fm: FontMetrics
-) -> list[tuple[str, int, float]]:
-    """-> list of (line_text, indent_units, extra_gap_flag) entries.
+) -> list[tuple[str, int, float, int]]:
+    """-> list of (line_text, indent_units, extra_gap_flag, width_units).
 
     Splits the paragraph at hard breaks, preserving leading-space
     indents, then greedily wraps each logical line by MEASURED width
     (per-glyph metrics, S3) in integer milli-em units — exact
     arithmetic, no float drift.  extra_gap is 1.0 for lines that start
-    after an explicit hard break (other than the first).
+    after an explicit hard break (other than the first).  width_units
+    is the exact glyph width of the emitted text (word widths +
+    SPACE_UNITS gaps — the same sum line_width_units would compute),
+    threaded through so the placer never re-measures the line.
     """
     mono = not fm.proportional
 
     def w_units(word: str) -> int:
         return 500 * len(word) if mono else word_width_units(word)
 
-    out: list[tuple[str, int, float]] = []
+    out: list[tuple[str, int, float, int]] = []
     for i, logical in enumerate(para.split("\n")):
         stripped = logical.lstrip(" ")
         n_indent = len(logical) - len(stripped)
@@ -109,19 +82,54 @@ def _wrap_paragraph(
         if not words:
             continue
         avail = avail_units - indent
+
+        widths = [w_units(w) for w in words]
+        if max(widths) <= avail:
+            # fast path (no word wider than a line, i.e. almost every
+            # logical line): greedy wrap via prefix sums + bisect —
+            # O(lines log words) instead of a per-word Python loop.
+            # cs[k] = sum of the first k (width + SPACE) terms; words
+            # [i, j) fit iff cs[j] <= avail + SPACE + cs[i], exactly
+            # the greedy `cur_w + SPACE + ww <= avail` condition.
+            cs = [0]
+            cs.extend(accumulate(w + SPACE_UNITS for w in widths))
+            start = 0
+            first = True
+            n = len(words)
+            while start < n:
+                end = bisect_right(cs, avail + SPACE_UNITS + cs[start]) - 1
+                out.append(
+                    (
+                        " ".join(words[start:end]),
+                        indent,
+                        hard if first else 0.0,
+                        cs[end] - cs[start] - SPACE_UNITS,
+                    )
+                )
+                first = False
+                start = end
+            continue
+
         cur: list[str] = []
-        cur_w = 0
+        cur_w = 0       # wrap-control accumulator (sentinel after hyphen)
+        cur_true = 0    # exact glyph width of ' '.join(cur)
         first_of_logical = True
 
         def flush() -> None:
-            nonlocal cur, cur_w, first_of_logical
+            nonlocal cur, cur_w, cur_true, first_of_logical
             if cur:
                 out.append(
-                    (" ".join(cur), indent, hard if first_of_logical else 0.0)
+                    (
+                        " ".join(cur),
+                        indent,
+                        hard if first_of_logical else 0.0,
+                        cur_true,
+                    )
                 )
                 first_of_logical = False
                 cur = []
                 cur_w = 0
+                cur_true = 0
 
         hyphen_w = width_units("-") if not mono else 500
         for word in words:
@@ -129,6 +137,7 @@ def _wrap_paragraph(
             need = ww if not cur else cur_w + SPACE_UNITS + ww
             if need <= avail:
                 cur.append(word)
+                cur_true += ww if len(cur) == 1 else SPACE_UNITS + ww
                 cur_w = need
                 continue
             # word does not fit on the current line
@@ -136,6 +145,7 @@ def _wrap_paragraph(
                 flush()
                 cur = [word]
                 cur_w = ww
+                cur_true = ww
                 continue
             # word wider than a full line: hyphen-split by width
             rest = word
@@ -151,12 +161,14 @@ def _wrap_paragraph(
                     used += cw
                     taken += 1
                 if taken >= 1:
+                    cur_true += used if not cur else SPACE_UNITS + used
                     cur.append(rest[:taken] + "-")
                     cur_w = avail  # force wrap
                     rest = rest[taken:]
                 flush()
             cur = [rest] if rest else []
             cur_w = w_units(rest)
+            cur_true = cur_w
         flush()
     return out
 
@@ -172,7 +184,7 @@ def _is_title_para(paras: list[str], ts: Typesetter) -> bool:
     return 2 <= n <= min(ts.title_max_chars, title_chars)
 
 
-def typeset_lines(text: str, settings: Settings | None = None) -> list[Line]:
+def typeset_lines(text: str, settings: Settings | None = None) -> list[dict]:
     """Typeset one turn's text into positioned lines across pages."""
     st = settings or Settings()
     ts = st.typesetter
@@ -185,7 +197,7 @@ def typeset_lines(text: str, settings: Settings | None = None) -> list[Line]:
     body_fm = BY_NAME[ts.body_font]
     title_fm = BY_NAME[ts.title_font]
 
-    lines: list[Line] = []
+    lines: list[dict] = []
     page = 1
     # cursor = y of the TOP of the next line's box
     cursor = ts.page_height - ts.margin
@@ -202,7 +214,7 @@ def typeset_lines(text: str, settings: Settings | None = None) -> list[Line]:
         return ts.margin + c * (col_width + gutter)
 
     def place(content: str, indent_units: int, size: float,
-              fm: FontMetrics, font: str, leading: float) -> None:
+              font: str, leading: float, wunits: int) -> None:
         nonlocal cursor, page, col, col_top
         if cursor - size < bottom_limit:
             if col == 0:
@@ -216,18 +228,21 @@ def typeset_lines(text: str, settings: Settings | None = None) -> list[Line]:
                     col = 0
         x0 = ts.margin if col < 0 else col_x(col)
         lines.append(
-            Line(
-                x=x0 + indent_units * size / 1000.0,
-                y=cursor - size,
-                width=fm.text_width(content, size),
-                height=size,
-                line_height=size,
-                content=content,
-                font=font,
-                page=page,
-                page_width=ts.page_width,
-                page_height=ts.page_height,
-            )
+            {
+                "x": x0 + indent_units * size / 1000.0,
+                # width from the wrap pass's exact unit sum — the same
+                # integer line_width_units(content) would produce, so
+                # the float result is bit-identical to re-measuring
+                "width": wunits * size / 1000.0,
+                "y": cursor - size,
+                "height": size,
+                "line_height": size,
+                "content": content,
+                "font": font,
+                "page": page,
+                "page_width": ts.page_width,
+                "page_height": ts.page_height,
+            }
         )
         cursor -= leading
 
@@ -252,37 +267,37 @@ def typeset_lines(text: str, settings: Settings | None = None) -> list[Line]:
         # usable width in milli-em units of this face's size
         width_pts = ts.usable_width if col < 0 else col_width
         avail_units = int(width_pts * 1000.0 // size)
-        for content, indent_units, hard in _wrap_paragraph(
+        for content, indent_units, hard, wunits in _wrap_paragraph(
             para, avail_units, fm
         ):
             if hard:
                 cursor -= ts.hard_break_extra
-            place(content, indent_units, size, fm, font, leading)
+            place(content, indent_units, size, font, leading, wunits)
 
     # per-page footer (below the body margin)
-    n_pages = lines[-1].page if lines else 0
+    n_pages = lines[-1]["page"] if lines else 0
     f_fm = BY_NAME[ts.footer_font]
     for p in range(1, n_pages + 1):
         content = f"p. {p}"
         w = f_fm.text_width(content, ts.footer_size)
         lines.append(
-            Line(
-                x=(ts.page_width - w) / 2.0,
-                y=ts.footer_y,
-                width=w,
-                height=ts.footer_size,
-                line_height=ts.footer_size,
-                content=content,
-                font=ts.footer_font,
-                page=p,
-                page_width=ts.page_width,
-                page_height=ts.page_height,
-            )
+            {
+                "x": (ts.page_width - w) / 2.0,
+                "y": ts.footer_y,
+                "width": w,
+                "height": ts.footer_size,
+                "line_height": ts.footer_size,
+                "content": content,
+                "font": ts.footer_font,
+                "page": p,
+                "page_width": ts.page_width,
+                "page_height": ts.page_height,
+            }
         )
     return lines
 
 
-def typeset_chars(text: str, settings: Settings | None = None) -> list[Char]:
+def typeset_chars(text: str, settings: Settings | None = None) -> list[dict]:
     """Char-level emission (parity mode; SURVEY.md S2).
 
     One row per glyph, words separated by a one-glyph-width gap (no
@@ -292,21 +307,22 @@ def typeset_chars(text: str, settings: Settings | None = None) -> list[Char]:
     the char-level pipeline; production uses typeset_lines.
     """
     st = settings or Settings()
-    out: list[Char] = []
+    out: list[dict] = []
     for ln in typeset_lines(text, st):
-        fm = BY_NAME[ln.font]
-        x = ln.x
-        for ch in ln.content:
-            cw = fm.char_width(ch, ln.height)
+        fm = BY_NAME[ln["font"]]
+        x = ln["x"]
+        h = ln["height"]
+        for ch in ln["content"]:
+            cw = fm.char_width(ch, h)
             if ch != " ":
                 out.append(
-                    Char(
-                        x=x, y=ln.y, width=cw, height=ln.height,
-                        line_height=ln.line_height, content=ch,
-                        font=ln.font, page=ln.page,
-                        page_width=ln.page_width,
-                        page_height=ln.page_height,
-                    )
+                    {
+                        "x": x, "y": ln["y"], "width": cw, "height": h,
+                        "line_height": ln["line_height"], "content": ch,
+                        "font": ln["font"], "page": ln["page"],
+                        "page_width": ln["page_width"],
+                        "page_height": ln["page_height"],
+                    }
                 )
             x += cw
     return out

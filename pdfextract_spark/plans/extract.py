@@ -329,7 +329,10 @@ def extract(
         )
         for batch in batches:
             pdf = batch.to_pydict()
-            rows = []
+            # column-wise accumulation: one Python list per output
+            # field, converted once by pa.array — avoids building a
+            # per-turn row dict plus a second all-rows pass per field
+            cols: dict[str, list] = {f.name: [] for f in arrow_schema}
             for conv_id, turn_idx, role, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"]
             ):
@@ -350,13 +353,11 @@ def extract(
                             "refs_matched": 0,
                         },
                     }
-                row = {
-                    "conv_id": conv_id,
-                    "turn_idx": int(turn_idx),
-                    "role": role,
-                    "page_count": res["page_count"],
-                    "metrics": res["metrics"],
-                }
+                cols["conv_id"].append(conv_id)
+                cols["turn_idx"].append(int(turn_idx))
+                cols["role"].append(role)
+                cols["page_count"].append(res["page_count"])
+                cols["metrics"].append(res["metrics"])
                 if "title" in selected:
                     title = res.get("title")
                     if title is not None:
@@ -365,75 +366,83 @@ def extract(
                             "line_height": rnd(title["line_height"]),
                             "font": title["font"],
                         }
-                    row["title"] = title
+                    cols["title"].append(title)
                 if "regions" in selected:
-                    row["regions"] = [
-                        _region_row(r, rnd, tx) for r in res.get("regions") or []
-                    ]
+                    cols["regions"].append(
+                        [_region_row(r, rnd, tx) for r in res.get("regions") or []]
+                    )
                 if "zones" in selected:
-                    row["zones"] = [
-                        {
-                            "zone": z["group"],
-                            "x": rnd(z["x"]),
-                            "y": rnd(z["y"]),
-                            "width": rnd(z["width"]),
-                            "height": rnd(z["height"]),
-                            "page": z["page"],
-                        }
-                        for z in res.get("zones") or []
-                    ]
+                    cols["zones"].append(
+                        [
+                            {
+                                "zone": z["group"],
+                                "x": rnd(z["x"]),
+                                "y": rnd(z["y"]),
+                                "width": rnd(z["width"]),
+                                "height": rnd(z["height"]),
+                                "page": z["page"],
+                            }
+                            for z in res.get("zones") or []
+                        ]
+                    )
                 if "columns" in selected:
-                    row["columns"] = [
-                        {
-                            "x": rnd(c["x"]),
-                            "y": rnd(c["y"]),
-                            "width": rnd(c["width"]),
-                            "height": rnd(c["height"]),
-                            "page": c["page"],
-                        }
-                        for c in res.get("columns") or []
-                    ]
+                    cols["columns"].append(
+                        [
+                            {
+                                "x": rnd(c["x"]),
+                                "y": rnd(c["y"]),
+                                "width": rnd(c["width"]),
+                                "height": rnd(c["height"]),
+                                "page": c["page"],
+                            }
+                            for c in res.get("columns") or []
+                        ]
+                    )
                 if "sections" in selected:
-                    row["sections"] = [
-                        _section_row(s, get_text_content(s), rnd, tx)
-                        for s in res.get("sections") or []
-                    ]
+                    cols["sections"].append(
+                        [
+                            _section_row(s, get_text_content(s), rnd, tx)
+                            for s in res.get("sections") or []
+                        ]
+                    )
                 if "references" in selected:
-                    row["references"] = [
-                        {"content": tx(r["content"]), "order": r.get("order")}
-                        for r in res.get("references") or []
-                    ]
+                    cols["references"].append(
+                        [
+                            {"content": tx(r["content"]), "order": r.get("order")}
+                            for r in res.get("references") or []
+                        ]
+                    )
                 if "characters" in selected:
-                    row["characters"] = [
-                        _chunk_row(c, rnd, tx)
-                        for c in res.get("characters") or []
-                    ]
+                    cols["characters"].append(
+                        [_chunk_row(c, rnd, tx) for c in res.get("characters") or []]
+                    )
                 if "chunks" in selected:
                     ch = res.get("chunks") or {}
-                    row["chunks"] = [
-                        _chunk_row(c, rnd, tx)
-                        for pg in sorted(ch)
-                        for c in ch[pg]
-                    ]
+                    cols["chunks"].append(
+                        [
+                            _chunk_row(c, rnd, tx)
+                            for pg in sorted(ch)
+                            for c in ch[pg]
+                        ]
+                    )
                 if "margins" in selected:
                     mp = res.get("margins") or {}
-                    row["margins"] = [
-                        {
-                            "side": side,
-                            "x": rnd(m["x"]),
-                            "y": rnd(m["y"]),
-                            "width": rnd(m["width"]),
-                            "height": rnd(m["height"]),
-                            "page": m["page"],
-                        }
-                        for pg in sorted(mp)
-                        for side, m in mp[pg].items()
-                    ]
-                rows.append(row)
+                    cols["margins"].append(
+                        [
+                            {
+                                "side": side,
+                                "x": rnd(m["x"]),
+                                "y": rnd(m["y"]),
+                                "width": rnd(m["width"]),
+                                "height": rnd(m["height"]),
+                                "page": m["page"],
+                            }
+                            for pg in sorted(mp)
+                            for side, m in mp[pg].items()
+                        ]
+                    )
             arrays = [
-                pa.array(
-                    [r[field.name] for r in rows], type=field.type
-                )
+                pa.array(cols[field.name], type=field.type)
                 for field in arrow_schema
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)

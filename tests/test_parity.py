@@ -63,18 +63,21 @@ def test_typeset_line_char_roundtrip():
     text = "Some words to typeset into glyph runs for the parity check"
     lines = typeset_lines(text, DEFAULT)
     chars = typeset_chars(text, DEFAULT)
-    assert "".join(c.content for c in chars) == "".join(
-        l.content.replace(" ", "") for l in lines
+    assert "".join(c["content"] for c in chars) == "".join(
+        l["content"].replace(" ", "") for l in lines
     )
     for c in chars:
-        line = next(l for l in lines if l.page == c.page and l.y == c.y)
-        assert line.x <= c.x < line.x + line.width + 1e-9
+        line = next(
+            l for l in lines
+            if l["page"] == c["page"] and l["y"] == c["y"]
+        )
+        assert line["x"] <= c["x"] < line["x"] + line["width"] + 1e-9
 
 
 def test_typeset_deterministic():
     text = FIXTURE_TEXTS[5]
-    a = [vars(l) for l in typeset_lines(text, DEFAULT)]
-    b = [vars(l) for l in typeset_lines(text, DEFAULT)]
+    a = typeset_lines(text, DEFAULT)
+    b = typeset_lines(text, DEFAULT)
     assert a == b
 
 

@@ -28,7 +28,11 @@ def test_typeset_roundtrip_text(ws):
     """typeset -> hyphen-join of the emitted lines reconstructs the
     normalized source text for boilerplate-free single paragraphs."""
     text = " ".join(ws)
-    lines = [l.content for l in typeset_lines(text, DEFAULT) if not l.content.startswith("p. ")]
+    lines = [
+        l["content"]
+        for l in typeset_lines(text, DEFAULT)
+        if not l["content"].startswith("p. ")
+    ]
     rebuilt = join_lines(lines)
     # hyphen splits introduced by the typesetter are removed by the
     # hyphen-join rule; everything else must match the collapsed text
