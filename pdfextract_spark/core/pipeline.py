@@ -47,7 +47,25 @@ def extract_turn(
 
     Returns a dict with any of: chunks, regions, margins, zones,
     columns, sections, title, references, page_count, metrics.
+
+    Mega-turn skew guard (``settings.max_turn_chars``): the kernel is
+    the indivisible unit of work, so one multi-megabyte turn would
+    stall its whole partition slot.  Oversized turns are truncated at
+    the cap (``metrics.chars_truncated`` records how much was cut) or
+    rejected (``on_oversize='fail'``) — either way the per-turn cost
+    is bounded and the event is visible in lineage metrics.
     """
+    chars_in = len(text or "")
+    truncated = 0
+    cap = settings.max_turn_chars
+    if cap and chars_in > cap:
+        if settings.on_oversize == "fail":
+            raise ValueError(
+                f"turn exceeds max_turn_chars ({chars_in} > {cap}); "
+                f"set on_oversize='truncate' or raise the cap"
+            )
+        truncated = chars_in - cap
+        text = text[:cap]
     if chars:
         char_objs = typeset_chars(text, settings)
         by_page = _group_by_page(char_objs)
@@ -120,7 +138,8 @@ def extract_turn(
         out["references"] = references_for_doc(sections, settings)
 
     out["metrics"] = {
-        "chars_in": len(text or ""),
+        "chars_in": chars_in,
+        "chars_truncated": truncated,
         "regions_found": len(all_regions),
         "sections_found": len(sections) if sections is not None else 0,
         "refs_matched": len(out.get("references", []) or []),

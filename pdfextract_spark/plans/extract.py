@@ -149,6 +149,7 @@ MARGIN_T = StructType(
 METRICS_T = StructType(
     [
         StructField("chars_in", LongType()),
+        StructField("chars_truncated", LongType()),
         StructField("regions_found", _I),
         StructField("sections_found", _I),
         StructField("refs_matched", _I),
@@ -348,6 +349,7 @@ def extract(
                         "page_count": -1,
                         "metrics": {
                             "chars_in": len(text or ""),
+                            "chars_truncated": 0,
                             "regions_found": 0,
                             "sections_found": 0,
                             "refs_matched": 0,

@@ -94,7 +94,23 @@ class Settings:
     # sink rounding (bin/pdf-extract:85-87, view/xml_view.rb:24-29)
     precision: int = 2
 
+    # mega-turn skew guard: one pathological multi-megabyte turn makes
+    # one kernel invocation arbitrarily slow (the per-turn kernel is
+    # the unit of work — partitioning cannot split inside a turn).
+    # 0 disables; otherwise turns longer than this many chars are
+    # truncated at the cap (metrics.truncated records it) or, with
+    # on_oversize="fail", rejected with an attributable error.
+    max_turn_chars: int = 1_000_000
+    on_oversize: str = "truncate"  # "truncate" | "fail"
+
     typesetter: Typesetter = field(default_factory=Typesetter)
+
+    def __post_init__(self) -> None:
+        if self.on_oversize not in ("truncate", "fail"):
+            raise ValueError(
+                f"on_oversize must be 'truncate' or 'fail', "
+                f"got {self.on_oversize!r}"
+            )
 
 
 DEFAULT = Settings()

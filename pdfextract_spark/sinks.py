@@ -95,6 +95,7 @@ def run_extraction_job(
             .agg(
                 F.count("*").alias("rows_out"),
                 F.sum("metrics.chars_in").alias("chars_in"),
+                F.sum("metrics.chars_truncated").alias("chars_truncated"),
                 F.sum("metrics.regions_found").alias("regions_found"),
                 F.sum("metrics.sections_found").alias("sections_found"),
                 F.sum("metrics.refs_matched").alias("refs_matched"),

@@ -312,6 +312,45 @@ def test_read_transcripts_all_formats_equal(spark, tmp_path):
         read_transcripts(spark, "/tmp/x", format="avro")
 
 
+def test_mega_turn_skew_guard(spark):
+    """max_turn_chars bounds the per-turn kernel cost: a pathological
+    multi-MB turn is truncated at the cap with the cut recorded in
+    metrics (or rejected outright with on_oversize='fail'), and the
+    guarded turn still extracts normally from its kept prefix."""
+    import pytest as _pytest
+
+    from pdfextract_spark.core.pipeline import extract_turn
+    from pdfextract_spark.plans.extract import extract
+    from pdfextract_spark.settings import Settings
+
+    mega = "A Title\n\n" + ("lorem ipsum body words " * 100_000)  # ~2.3 MB
+    st = Settings(max_turn_chars=10_000)
+    r = extract_turn(mega, st)
+    m = r["metrics"]
+    assert m["chars_in"] == len(mega)
+    assert m["chars_truncated"] == len(mega) - 10_000
+    assert r["page_count"] >= 1 and m["regions_found"] > 0
+    # normal-sized turns pass through untouched
+    ok = extract_turn("short turn", st)
+    assert ok["metrics"]["chars_truncated"] == 0
+    # fail mode rejects with an attributable error
+    with _pytest.raises(ValueError, match="max_turn_chars"):
+        extract_turn(mega, Settings(max_turn_chars=10_000, on_oversize="fail"))
+    with _pytest.raises(ValueError, match="on_oversize"):
+        Settings(on_oversize="explode")
+    # the Spark path surfaces the truncation in the metrics struct
+    df = spark.createDataFrame(
+        [("c0", 0, "user", mega[:50_000]), ("c0", 1, "assistant", "hi there")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {
+        r["turn_idx"]: r["metrics"]
+        for r in extract(df, settings=Settings(max_turn_chars=20_000)).collect()
+    }
+    assert out[0]["chars_truncated"] == 30_000
+    assert out[1]["chars_truncated"] == 0
+
+
 def test_pipeline_goldens_current(spark):
     """The committed golden parquets (exact oracles for the UDF-bound
     pipeline queries) must match what the kernel computes TODAY — a
