@@ -50,6 +50,15 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+try:  # optional dependency: real image decode when PIL is installed
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:  # pragma: no cover - container has no PIL
+    _PILImage = None
+    HAVE_PIL = False
+
+
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB: a real implementation decodes with PIL/turbojpeg.  The
     deterministic fake derives a pseudo-pixel array from the bytes so
@@ -58,6 +67,27 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     if arr.size == 0:
         arr = np.zeros(16, dtype=np.float32)
     return arr
+
+
+def decode_image(payload: bytes, use_stub: bool = True) -> np.ndarray:
+    """Image bytes -> flat float32 pixel array.
+
+    ``use_stub=True`` (default) is the deterministic fake — the path
+    every oracle-checked query pins, so results stay reproducible in
+    environments without codecs.  ``use_stub=False`` decodes with PIL
+    (grayscale-converted pixels) when installed, raising a clear error
+    otherwise — the production path for real images."""
+    if use_stub:
+        return _decode_image_stub(payload)
+    if _PILImage is None:
+        raise RuntimeError(
+            "decode_image(use_stub=False) requires Pillow; install it or "
+            "use the deterministic stub path"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("L"), dtype=np.float32).ravel()
 
 
 def decode_audio(payload: bytes):  # pragma: no cover - stub
@@ -73,21 +103,30 @@ def sample_video_frames(payload: bytes, every_ms: int = 1000):  # pragma: no cov
     )
 
 
-def media_features(df: DataFrame, feat_dim: int = 16) -> DataFrame:
+def media_features(
+    df: DataFrame, feat_dim: int = 16, use_stub: bool = True
+) -> DataFrame:
     """Arrow-batched feature extraction over opaque media payloads.
 
     mapInPandas keeps payload bytes off the driver entirely; each batch
     decodes vectorized and emits a fixed-dim float feature.  At 100 TB
-    the input is partitioned by media_id hash; nothing here shuffles."""
+    the input is partitioned by media_id hash; nothing here shuffles.
+    ``use_stub=False`` runs the real PIL decode (optional dependency,
+    see decode_image); the default stub keeps oracles reproducible."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                raw = _decode_image_stub(bytes(payload or b""))
-                # deterministic fixed-dim pooling (mean over strides)
-                pad = (-raw.size) % feat_dim
-                pooled = np.pad(raw, (0, pad)).reshape(feat_dim, -1).mean(axis=1)
+                raw = decode_image(bytes(payload or b""), use_stub=use_stub)
+                if raw.size == 0:  # e.g. a 0x0 image through PIL
+                    pooled = np.zeros(feat_dim)
+                else:
+                    # deterministic fixed-dim pooling (mean over strides)
+                    pad = (-raw.size) % feat_dim
+                    pooled = (
+                        np.pad(raw, (0, pad)).reshape(feat_dim, -1).mean(axis=1)
+                    )
                 feats.append(pooled.astype(np.float32).tolist())
             yield pd.DataFrame(
                 {

@@ -300,6 +300,40 @@ def test_sample_frames_fanout_and_determinism(spark):
     assert len(rows) == 8 and all(r["frame_sig"] == 0.0 for r in rows)
 
 
+def test_decode_image_paths(spark):
+    """decode_image dispatch: the stub path is deterministic and always
+    available (what every oracle pins); the PIL path decodes real
+    pixels when Pillow is installed and fails with a clear error when
+    not — never silently falling back."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pdfextract_spark.operators import multimodal as M
+
+    a = M.decode_image(b"\x01\x02\x03\x04")
+    b = M.decode_image(b"\x01\x02\x03\x04")
+    assert np.array_equal(a, b) and a.dtype == np.float32
+    if not M.HAVE_PIL:
+        with _pytest.raises(RuntimeError, match="Pillow"):
+            M.decode_image(b"\x89PNG", use_stub=False)
+    else:  # exercised when Pillow is installed
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 2), (10, 20, 30)).save(buf, format="PNG")
+        px = M.decode_image(buf.getvalue(), use_stub=False)
+        assert px.shape == (8,)  # 4x2 grayscale, flattened
+        # real decode through the Spark plan as well
+        media = spark.createDataFrame(
+            [(1, "image", buf.getvalue())],
+            "media_id long, kind string, payload binary",
+        )
+        out = M.media_features(media, use_stub=False).collect()
+        assert len(out) == 1 and len(out[0]["feature"]) == 16
+
+
 def test_resize_media_shape_and_determinism(spark):
     from pdfextract_spark.operators import multimodal as M
 

@@ -312,6 +312,37 @@ def test_read_transcripts_all_formats_equal(spark, tmp_path):
         read_transcripts(spark, "/tmp/x", format="avro")
 
 
+def test_write_table_iceberg_branch(spark, tmp_path):
+    """Exercises the writeTo branch for real when Iceberg jars are on
+    the classpath (skipped otherwise — this container ships none):
+    round-trips rows through a hadoop-type catalog table, proving the
+    Iceberg story does not silently rot when jars ARE present."""
+    import pytest as _pytest
+
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+    except Exception:
+        _pytest.skip("iceberg runtime jars not on the classpath")
+    spark.conf.set(
+        "spark.sql.catalog.it_wt", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.it_wt.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it_wt.warehouse", str(tmp_path / "wh"))
+
+    from pdfextract_spark.sinks import write_table
+
+    df = spark.range(5).selectExpr("id", "id % 2 as b")
+    assert (
+        write_table(df, "it_wt.db.t", mode="overwrite", partition_by=["b"])
+        == "iceberg"
+    )
+    assert spark.read.table("it_wt.db.t").count() == 5
+    assert write_table(df, "it_wt.db.t", mode="append") == "iceberg"
+    assert spark.read.table("it_wt.db.t").count() == 10
+
+
 def test_mega_turn_skew_guard(spark):
     """max_turn_chars bounds the per-turn kernel cost: a pathological
     multi-MB turn is truncated at the cap with the cut recorded in
