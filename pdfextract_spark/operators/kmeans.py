@@ -1,0 +1,121 @@
+"""K-means clustering (SURVEY.md A12; reference: lib/pdf/extract/
+kmeans.rb:41-111).
+
+The reference ships a driver-local Lloyd's implementation (random or
+caller-supplied init, assign-to-nearest, recompute means, drop empty
+clusters, stop at max centre delta <= ``delta``).  It is dead code
+there — never called from any ``after`` block — but re-expressed here
+as a first-class distributed operator so the inventory row is closed:
+
+- items stay a DataFrame; each iteration is one broadcast of the k
+  centers, a JVM-side argmin assignment (crossJoin with a k-row
+  broadcast + row_number window — no Python in the loop), and a
+  map-side-combinable groupBy mean.  Only the k centre rows ever reach
+  the driver per iteration (the same driver-sized state MLlib's
+  KMeans keeps).
+- ties in the argmin go to the lowest cluster id, matching the
+  reference's first-minimum scan (kmeans.rb:68-79).
+- empty clusters are dropped implicitly (groupBy emits no row), as in
+  kmeans.rb:84-86.
+- init must be EXPLICIT (a list of coordinate dicts) or ``init_first_k``
+  (the k items with the smallest ``id_col`` — deterministic and
+  SQL-replicable); the reference's ``rand`` path has no place in a
+  reproducible pipeline.
+- iteration runs ``max_iter`` rounds, optionally stopping early when
+  the max centre movement is <= ``delta`` (the reference's criterion).
+  Oracle-checked queries pin ``delta=0.0`` so both engines run the
+  exact same number of rounds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kmeans(
+    df: DataFrame,
+    keys: list[str],
+    k: int,
+    id_col: str,
+    init: list[dict] | None = None,
+    max_iter: int = 5,
+    delta: float = 0.0,
+) -> tuple[list[dict], DataFrame]:
+    """Lloyd's k-means over ``df[keys]``.
+
+    Returns ``(centers, assigned)``: the final centre list (dicts with
+    ``cid``, each key, and ``n`` members) and the input DataFrame with
+    a ``cid`` assignment column from the final centers.
+    """
+    if init is None:
+        # deterministic init: the k items with the smallest id
+        rows = df.orderBy(id_col).limit(k).collect()
+        init = [{key: float(r[key]) for key in keys} for r in rows]
+    centers = [dict(c) for c in init]
+
+    def assign(centers_now: list[dict]) -> DataFrame:
+        cdf = df.sparkSession.createDataFrame(
+            [
+                tuple([cid] + [float(c[key]) for key in keys])
+                for cid, c in enumerate(centers_now)
+            ],
+            ["cid"] + [f"_c_{key}" for key in keys],
+        )
+        dist = None
+        for key in keys:
+            d = F.col(key) - F.col(f"_c_{key}")
+            dist = d * d if dist is None else dist + d * d
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_dist").asc(), F.col("cid").asc()
+        )
+        return (
+            df.crossJoin(F.broadcast(cdf))
+            .withColumn("_dist", dist)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_dist", *[f"_c_{key}" for key in keys])
+        )
+
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    for _ in range(max_iter):
+        assigned = assign(centers)
+        new_rows = (
+            assigned.groupBy("cid")
+            .agg(
+                *[F.avg(key).alias(key) for key in keys],
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new_centers = [
+            {"cid": r["cid"], "n": r["n"], **{key: r[key] for key in keys}}
+            for r in sorted(new_rows, key=lambda r: r["cid"])
+        ]
+        moved = 0.0
+        by_cid = {c["cid"]: c for c in new_centers}
+        for cid, old in enumerate(centers):
+            if cid in by_cid:
+                moved = max(
+                    moved,
+                    math.sqrt(
+                        sum(
+                            (old[key] - by_cid[cid][key]) ** 2
+                            for key in keys
+                        )
+                    ),
+                )
+        # surviving clusters renumber positionally (the reference's
+        # list compaction after rejecting empty clusters)
+        centers = [{key: c[key] for key in keys} for c in new_centers]
+        if delta > 0 and moved <= delta:
+            break
+
+    final = [
+        {"cid": i, **{key: c[key] for key in keys}, "n": c["n"]}
+        for i, c in enumerate(new_centers)
+    ]
+    return final, assign(centers)

@@ -2461,3 +2461,162 @@ def top_terms_per_source(spark, sf_dir):
         .where(F.col("rk") <= 3)
         .select("source", "term", "cnt", "rk")
     )
+
+
+# =====================================================================
+# A12 k-means / A13 SVM scorer (reference dead code, implemented as
+# first-class distributed operators — kmeans.rb:41-111, score.rb:13-26)
+# =====================================================================
+
+_KM_K = 4
+_KM_ITERS = 3
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs — the same fixed
+    round count the Spark operator runs (delta=0).  Features are
+    integer-valued doubles, so every per-cluster mean is an exact
+    integer sum divided once: bit-identical in any engine regardless
+    of aggregation order, which makes the whole iteration chain (and
+    its distance tie-breaks) engine-independent."""
+    parts = [
+        f"""
+    WITH items AS (
+      SELECT event_id AS rid,
+             (event_id % 997)::DOUBLE AS x,
+             (user_id % 499)::DOUBLE AS y
+      FROM events
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY rid) - 1 AS cid, x AS cx, y AS cy
+      FROM items ORDER BY rid LIMIT {k}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    a{i} AS (
+      SELECT rid, x, y, cid FROM (
+        SELECT i.rid, i.x, i.y, c.cid,
+               row_number() OVER (
+                 PARTITION BY i.rid
+                 ORDER BY (i.x - c.cx) * (i.x - c.cx)
+                        + (i.y - c.cy) * (i.y - c.cy) ASC, c.cid ASC
+               ) AS rn
+        FROM items i, c{i - 1} c) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT row_number() OVER (ORDER BY cid) - 1 AS cid,
+             avg(x) AS cx, avg(y) AS cy, count(*) AS n
+      FROM a{i} GROUP BY cid
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT cid, round(cx, 6)::DOUBLE AS x, round(cy, 6)::DOUBLE AS y, n
+    FROM c{iters} ORDER BY cid"""
+    )
+    return "".join(parts)
+
+
+@q("a12_kmeans_centers", _kmeans_oracle())
+def a12_kmeans_centers(spark, sf_dir):
+    """A12 (kmeans.rb:41-111): distributed Lloyd's k-means — broadcast
+    k centers, JVM-side argmin assignment, map-side-combinable mean —
+    with deterministic first-k init and a fixed iteration count so the
+    unrolled-CTE oracle replays the identical rounds."""
+    from ..operators.kmeans import kmeans
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(
+        F.col("event_id").alias("rid"),
+        (F.col("event_id") % 997).cast("double").alias("x"),
+        (F.col("user_id") % 499).cast("double").alias("y"),
+    )
+    centers, _ = kmeans(
+        items, keys=["x", "y"], k=_KM_K, id_col="rid",
+        max_iter=_KM_ITERS, delta=0.0,
+    )
+    return spark.createDataFrame(
+        [
+            (c["cid"], round(c["x"], 6), round(c["y"], 6), c["n"])
+            for c in centers
+        ],
+        "cid int, x double, y double, n bigint",
+    )
+
+
+# deterministic synthetic RBF model: 3 support vectors over 5 features,
+# all-dyadic constants (exactly representable doubles), so the only
+# cross-engine float hazard is exp() itself (<= 1 ulp)
+_SVM_SVS = [
+    [0.25, -0.5, 0.75, 0.0, -0.25],
+    [-0.75, 0.5, -0.25, 0.5, 0.25],
+    [0.5, 0.25, -0.5, -0.75, 0.5],
+]
+_SVM_COEF = [0.5, -0.25, 0.75]
+_SVM_GAMMA = 0.5
+_SVM_RHO = 0.125
+
+
+def _svm_feature_sql(i: int) -> str:
+    mods = [7, 11, 13, 17, 19]
+    return f"((doc_id % {mods[i]})::DOUBLE / {mods[i]} - 0.5)"
+
+
+def _svm_oracle() -> str:
+    terms = []
+    for sv, a in zip(_SVM_SVS, _SVM_COEF):
+        d2 = " + ".join(
+            f"({_svm_feature_sql(j)} - ({sv[j]!r})) * "
+            f"({_svm_feature_sql(j)} - ({sv[j]!r}))"
+            for j in range(5)
+        )
+        terms.append(f"({a!r}) * exp(-{_SVM_GAMMA!r} * ({d2}))")
+    dec = " + ".join(terms) + f" - {_SVM_RHO!r}"
+    return f"""
+    SELECT doc_id,
+           round({dec}, 6)::DOUBLE AS decision,
+           (CASE WHEN ({dec}) > 0 THEN 0 ELSE 1 END)::INT AS predicted
+    FROM documents
+    """
+
+
+@q("a13_svm_reference_score", _svm_oracle())
+def a13_svm_reference_score(spark, sf_dir):
+    """A13 (score.rb:13-26): c_svc RBF decision function as one
+    vectorized Arrow stage (exp(-gamma*||x-sv||^2) @ alpha per batch).
+    The model here is a deterministic synthetic stand-in with dyadic
+    constants; production loads any libsvm artifact via
+    operators/svm.load_libsvm_model (e.g. the reference's own
+    data/reference.model)."""
+    import numpy as np
+
+    from ..operators.svm import svm_decision
+
+    model = {
+        "svm_type": "c_svc",
+        "kernel_type": "rbf",
+        "gamma": _SVM_GAMMA,
+        "rho": _SVM_RHO,
+        "labels": [0, 1],
+        "sv_coef": np.array(_SVM_COEF),
+        "svs": np.array(_SVM_SVS),
+        "n_features": 5,
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    mods = [7, 11, 13, 17, 19]
+    feats = docs.select(
+        "doc_id",
+        *[
+            ((F.col("doc_id") % m).cast("double") / F.lit(float(m)) - 0.5)
+            .alias(f"f{j}")
+            for j, m in enumerate(mods)
+        ],
+    )
+    out = svm_decision(feats, model, [f"f{j}" for j in range(5)])
+    return out.select(
+        "doc_id",
+        F.round("decision", 6).alias("decision"),
+        F.col("predicted").cast("int").alias("predicted"),
+    )

@@ -575,3 +575,98 @@ def test_merge_intervals_matches_bruteforce_union(spark):
     got = {k: sorted(v) for k, v in got.items()}
     for case, expect in want.items():
         assert got.get(case, []) == expect, (case, got.get(case), expect)
+
+
+def test_kmeans_lloyd_semantics(spark):
+    """A12: separable clusters converge to their true means, init is
+    deterministic (first-k by id), argmin ties go to the lowest
+    cluster id, and empty clusters drop (kmeans.rb:84-86)."""
+    import pytest as _pytest
+
+    from pdfextract_spark.operators.kmeans import kmeans
+
+    pts = [(0, 0.0, 0.0), (1, 1.0, 1.0), (2, 0.5, 0.5),
+           (3, 100.0, 100.0), (4, 101.0, 101.0), (5, 99.0, 99.0)]
+    df = spark.createDataFrame(pts, "rid long, x double, y double")
+    centers, assigned = kmeans(
+        df, keys=["x", "y"], k=2, id_col="rid", max_iter=5, delta=0.001
+    )
+    assert len(centers) == 2
+    cs = sorted((round(c["x"], 6), round(c["y"], 6), c["n"]) for c in centers)
+    assert cs == [(0.5, 0.5, 3), (100.0, 100.0, 3)]
+    got = {r["rid"]: r["cid"] for r in assigned.collect()}
+    assert got[0] == got[1] == got[2] and got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+    # duplicate init centers: one goes empty and is dropped
+    dup = spark.createDataFrame(
+        [(0, 1.0), (1, 1.0), (2, 1.0)], "rid long, x double"
+    )
+    c2, _ = kmeans(dup, keys=["x"], k=2, id_col="rid", max_iter=2)
+    assert len(c2) == 1 and c2[0]["n"] == 3
+    with _pytest.raises(ValueError, match="max_iter"):
+        kmeans(dup, keys=["x"], k=1, id_col="rid", max_iter=0)
+
+
+def test_svm_parse_and_decision(spark):
+    """A13: the libsvm text parser handles the public format; the RBF
+    decision matches a hand-computed value; the linear path lowers to
+    Catalyst; prediction margins are far from the sign boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pdfextract_spark.operators.svm import (
+        parse_libsvm_model,
+        svm_decision,
+    )
+
+    text = (
+        "svm_type c_svc\nkernel_type rbf\ngamma 0.5\nnr_class 2\n"
+        "total_sv 2\nrho 0.25\nlabel 0 1\nnr_sv 1 1\nSV\n"
+        "1.0 1:1.0 2:0.0\n-1.0 1:-1.0 2:0.0\n"
+    )
+    m = parse_libsvm_model(text)
+    assert m["n_features"] == 2 and m["labels"] == [0, 1]
+    df = spark.createDataFrame([(1, 1.0, 0.0), (2, -1.0, 0.0)],
+                               "id long, f0 double, f1 double")
+    rows = {r["id"]: r for r in
+            svm_decision(df, m, ["f0", "f1"]).collect()}
+    # at x=(1,0): 1*exp(0) - 1*exp(-0.5*4) - 0.25
+    want = 1.0 - np.exp(-2.0) - 0.25
+    assert abs(rows[1]["decision"] - want) < 1e-12
+    assert rows[1]["predicted"] == 0 and rows[2]["predicted"] == 1
+    assert abs(rows[1]["decision"]) > 1e-6  # sign margin
+    # linear kernel lowers to a pure Catalyst expression (no Python
+    # stage in the plan)
+    lin = parse_libsvm_model(text.replace("rbf", "linear"))
+    out = svm_decision(df, lin, ["f0", "f1"])
+    assert "MapInPandas" not in out._jdf.queryExecution().toString()
+    r = {x["id"]: x for x in out.collect()}
+    assert abs(r[1]["decision"] - (2.0 * 1.0 - 0.25)) < 1e-12
+    with _pytest.raises(ValueError, match="features"):
+        svm_decision(df, m, ["f0"])
+    with _pytest.raises(ValueError, match="svm_type"):
+        parse_libsvm_model("svm_type nu_svc\nrho 0\nSV\n")
+
+
+def test_svm_loads_reference_artifact():
+    """The parser consumes the reference's own trained model when the
+    snapshot ships it (proves format compatibility with score.rb's
+    input; no weights are copied into this repo)."""
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    path = "/root/reference/data/reference.model"
+    if not os.path.exists(path):
+        _pytest.skip("reference model artifact not present")
+    from pdfextract_spark.operators.svm import load_libsvm_model
+
+    m = load_libsvm_model(path)
+    assert m["kernel_type"] == "rbf" and m["n_features"] == 5
+    assert m["svs"].shape[0] == len(m["sv_coef"]) > 0
+    # decision function is finite and computable on a sample
+    x = np.array([0.1, 0.0, 0.05, 0.4, 0.9])
+    d2 = ((m["svs"] - x) ** 2).sum(axis=1)
+    dec = float(np.exp(-m["gamma"] * d2) @ m["sv_coef"] - m["rho"])
+    assert np.isfinite(dec)
