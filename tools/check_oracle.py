@@ -56,12 +56,28 @@ def main():
 
     import __spark_entry__ as entrymod
 
+    # robustness-sweep knobs: CHECK_TZ / CHECK_ANSI / CHECK_AQE /
+    # CHECK_CORES let the gate re-run under non-default session
+    # configs (results must be config-independent)
+    import os
+
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(
+            f"local[{os.environ.get('CHECK_CORES', '8')}]"
+        )
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.session.timeZone",
+            os.environ.get("CHECK_TZ", "UTC"),
+        )
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config(
+            "spark.sql.ansi.enabled", os.environ.get("CHECK_ANSI", "true")
+        )
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("CHECK_AQE", "true"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
