@@ -218,3 +218,80 @@ def simhash(col: Column, bits: int = 16) -> Column:
         )
         out = out + F.when(bit_sum > 0, F.lit(2**j).cast("bigint")).otherwise(0)
     return out
+
+
+# --- cross-corpus paragraph-level exact dedup (C4/RefinedWeb-style) ------
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_paras_per_doc: int = 100_000,
+) -> DataFrame:
+    """One row per non-empty paragraph with its canonical owner: the
+    corpus-wide first occurrence — (min doc, then min position) — of
+    the normalized paragraph text wins; later copies are duplicates.
+
+    Scale shape: explode -> md5 in the same projection -> ONE shuffle
+    on the hash with a map-side-combinable min/count (no window over
+    the hash groups, so a boilerplate paragraph repeated 10^9 times
+    partial-aggregates instead of hot-spotting a task).  The owner key
+    packs (doc, idx) into one bigint; ``max_paras_per_doc`` bounds idx
+    (raise it for pathological documents).
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(text_col), r"\n{2,}")
+            ).alias("_idx0", "_para"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_idx0") + 1).alias("para_idx"),
+            F.col("_para").alias("para"),
+            normalize_text(F.col("_para")).alias("_norm"),
+        )
+        .where(F.col("_norm") != "")
+        .withColumn("para_hash", F.md5("_norm"))
+        .withColumn(
+            "_key",
+            F.col(id_col) * max_paras_per_doc + F.col("para_idx"),
+        )
+    )
+    owners = paras.groupBy("para_hash").agg(
+        F.min("_key").alias("_keep_key"),
+        F.count("*").alias("dup_count"),
+    )
+    return paras.join(owners, "para_hash").select(
+        id_col,
+        "para_idx",
+        "para",
+        "para_hash",
+        (F.col("_key") == F.col("_keep_key")).alias("is_canonical"),
+        "dup_count",
+    )
+
+
+def strip_duplicate_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_paras_per_doc: int = 100_000,
+) -> DataFrame:
+    """Documents with corpus-duplicate paragraphs removed: keeps only
+    each paragraph's canonical occurrence and reassembles the document
+    (original paragraph text, original order, blank-line separators).
+    Documents whose every paragraph was a later duplicate drop out."""
+    kept = paragraph_dedup(df, text_col, id_col, max_paras_per_doc).where(
+        "is_canonical"
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("para_idx", "para"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            "\n\n", F.transform(ordered, lambda s: s["para"])
+        ).alias("clean_text"),
+    )

@@ -193,3 +193,30 @@ def gopher_quality_flags(col: Column) -> list[Column]:
         f_stop.alias("flag_stopwords"),
         (f_wc * f_wl * f_alpha * f_stop).alias("gopher_pass"),
     ]
+
+
+# --- URL / email scrubbing (training-data hygiene) -----------------------
+
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def scrub_urls_emails(
+    col: Column, url_token: str = "<URL>", email_token: str = "<EMAIL>"
+) -> Column:
+    """Replace URLs then e-mail addresses with placeholder tokens —
+    both patterns are RE2-safe (no backrefs), so any engine's regex
+    evaluates them identically.  URL replacement runs first so an
+    address embedded in a URL is consumed by the URL token."""
+    clean = F.regexp_replace(col, URL_RE, url_token)
+    return F.regexp_replace(clean, EMAIL_RE, email_token)
+
+
+def url_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(URL_RE))
+
+
+def email_count(col: Column) -> Column:
+    """Callers wanting counts disjoint from URLs should count on the
+    URL-scrubbed column; this counts raw matches in the given one."""
+    return F.regexp_count(col, F.lit(EMAIL_RE))

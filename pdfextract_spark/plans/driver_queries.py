@@ -2620,3 +2620,142 @@ def a13_svm_reference_score(spark, sf_dir):
         F.round("decision", 6).alias("decision"),
         F.col("predicted").cast("int").alias("predicted"),
     )
+
+
+# =====================================================================
+# Cross-corpus paragraph dedup + URL/email scrub (training-data ops)
+# =====================================================================
+
+@q(
+    "dedup_paragraph_exact",
+    r"""
+    WITH corpus AS (
+      -- synthesize cross-document duplicate paragraphs (the driver
+      -- documents are single-paragraph and unique): 7 shared
+      -- boilerplate variants plus one corpus-wide license line
+      SELECT doc_id,
+             text || chr(10) || chr(10) ||
+             'Shared boilerplate variant ' || (doc_id % 7) ||
+             ' applies to this corpus.' || chr(10) || chr(10) ||
+             'This content is licensed under CC-BY 4.0.' AS text
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             UNNEST(list_zip(range(1, len(parts) + 1), parts)) AS u
+      FROM (
+        SELECT doc_id, string_split_regex(text, '\n{2,}') AS parts
+        FROM corpus
+      )
+    ),
+    p AS (
+      SELECT doc_id,
+             u[1]::BIGINT AS para_idx,
+             u[2] AS para,
+             md5(trim(regexp_replace(lower(u[2]), '\s+', ' ', 'g')))
+               AS para_hash,
+             doc_id * 100000 + u[1]::BIGINT AS key
+      FROM e
+      WHERE trim(regexp_replace(lower(u[2]), '\s+', ' ', 'g')) <> ''
+    ),
+    o AS (
+      SELECT para_hash, min(key) AS keep_key, count(*) AS dup_count
+      FROM p GROUP BY para_hash
+    ),
+    k AS (
+      SELECT p.doc_id, p.para_idx, p.para
+      FROM p JOIN o ON p.para_hash = o.para_hash
+      WHERE p.key = o.keep_key
+    )
+    SELECT doc_id,
+           count(*) AS n_kept,
+           md5(string_agg(para, chr(10) || chr(10) ORDER BY para_idx))
+             AS clean_hash
+    FROM k GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_exact(spark, sf_dir):
+    """Cross-corpus paragraph-level exact dedup (the C4/RefinedWeb
+    'remove duplicated paragraphs across documents' pass): explode ->
+    md5 in the scan projection -> one map-side-combinable min/count
+    shuffle (no window over hash groups, so mega-duplicate boilerplate
+    cannot hot-spot) -> join back -> reassemble.  clean_hash pins the
+    exact reconstructed text of every surviving document."""
+    from ..operators.dedup import strip_duplicate_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nShared boilerplate variant "),
+            F.col("doc_id") % 7,
+            F.lit(" applies to this corpus."),
+            F.lit("\n\nThis content is licensed under CC-BY 4.0."),
+        ).alias("text"),
+    )
+    out = strip_duplicate_paragraphs(_spread(spark, corpus))
+    return out.select(
+        "doc_id",
+        F.col("n_kept"),
+        F.md5("clean_text").alias("clean_hash"),
+    )
+
+
+@q(
+    "scrub_urls_emails",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' Contact user' || doc_id ||
+             '@example.com or https://data.example.org/d/' || doc_id ||
+             ' for source.' AS text
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text,
+             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g')
+               AS no_url
+      FROM t
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, 'https?://[^\s]+'))::INT
+             AS n_urls,
+           len(regexp_extract_all(
+             no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+           ))::INT AS n_emails,
+           md5(regexp_replace(
+             no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'
+           )) AS clean_hash
+    FROM s
+    """,
+)
+def scrub_urls_emails(spark, sf_dir):
+    """URL/e-mail scrubbing (training-data hygiene): placeholder-token
+    redaction + counts, pure RE2-safe regex projections (zero Python,
+    zero shuffles).  The synthetic contact suffix guarantees every row
+    exercises both patterns; clean_hash pins the exact redacted text."""
+    from ..operators import quality as Qx
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or https://data.example.org/d/"),
+            F.col("doc_id"),
+            F.lit(" for source."),
+        ).alias("text"),
+    )
+    no_url = F.regexp_replace(F.col("text"), Qx.URL_RE, "<URL>")
+    return t.select(
+        "doc_id",
+        Qx.url_count(F.col("text")).cast("int").alias("n_urls"),
+        Qx.email_count(no_url).cast("int").alias("n_emails"),
+        F.md5(
+            F.regexp_replace(no_url, Qx.EMAIL_RE, "<EMAIL>")
+        ).alias("clean_hash"),
+    )

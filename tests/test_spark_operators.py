@@ -670,3 +670,72 @@ def test_svm_loads_reference_artifact():
     d2 = ((m["svs"] - x) ** 2).sum(axis=1)
     dec = float(np.exp(-m["gamma"] * d2) @ m["sv_coef"] - m["rho"])
     assert np.isfinite(dec)
+
+
+def test_paragraph_dedup_canonical_and_strip(spark):
+    """Cross-corpus paragraph dedup: the corpus-wide first occurrence
+    (min doc, then min position) is canonical; later copies — across
+    documents or within one — are flagged; stripping reassembles the
+    surviving paragraphs with original text and order, and drops
+    documents made entirely of later duplicates."""
+    from pdfextract_spark.operators.dedup import (
+        paragraph_dedup,
+        strip_duplicate_paragraphs,
+    )
+
+    boiler = "All rights reserved."
+    df = spark.createDataFrame(
+        [
+            (1, f"Unique one.\n\n{boiler}"),
+            (2, f"{boiler}\n\nUnique two.\n\nUnique two."),
+            (3, boiler),
+            (4, "   \n\n  "),  # only-whitespace doc: no paragraphs
+        ],
+        "doc_id long, text string",
+    )
+    rows = paragraph_dedup(df).collect()
+    flags = {(r["doc_id"], r["para_idx"]): r for r in rows}
+    # doc 1 owns the boilerplate (first occurrence corpus-wide)
+    assert flags[(1, 2)]["is_canonical"] and flags[(1, 2)]["dup_count"] == 3
+    assert not flags[(2, 1)]["is_canonical"]
+    assert not flags[(3, 1)]["is_canonical"]
+    # within-doc repeat: first kept, second flagged
+    assert flags[(2, 2)]["is_canonical"] and not flags[(2, 3)]["is_canonical"]
+    assert (4, 1) not in flags  # whitespace-only paragraphs dropped
+    out = {r["doc_id"]: r for r in strip_duplicate_paragraphs(df).collect()}
+    assert out[1]["clean_text"] == f"Unique one.\n\n{boiler}"
+    assert out[2]["clean_text"] == "Unique two." and out[2]["n_kept"] == 1
+    assert 3 not in out and 4 not in out  # fully-duplicate doc dropped
+
+
+def test_scrub_urls_emails(spark):
+    """URL/email scrubbing: placeholder tokens, disjoint counts (an
+    address inside a URL is consumed by the URL token), idempotent on
+    clean text."""
+    from pdfextract_spark.operators import quality as Qx
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://a.example.org/x?u=1 and mail bob@corp.io ."),
+            (2, "no contacts here"),
+            (3, "http://u:p@host.example.com/path only"),
+        ],
+        "id long, text string",
+    )
+    no_url = F.regexp_replace(F.col("text"), Qx.URL_RE, "<URL>")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            Qx.url_count(F.col("text")).alias("u"),
+            Qx.email_count(no_url).alias("e"),
+            Qx.scrub_urls_emails(F.col("text")).alias("clean"),
+        ).collect()
+    }
+    assert rows[1]["u"] == 1 and rows[1]["e"] == 1
+    assert rows[1]["clean"] == "see <URL> and mail <EMAIL> ."
+    assert rows[2]["u"] == rows[2]["e"] == 0
+    assert rows[2]["clean"] == "no contacts here"
+    # credentials-in-URL: consumed by the URL token, not double-counted
+    assert rows[3]["u"] == 1 and rows[3]["e"] == 0
+    assert rows[3]["clean"] == "<URL> only"
