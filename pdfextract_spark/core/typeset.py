@@ -160,6 +160,15 @@ def _wrap_paragraph(
                         break
                     used += cw
                     taken += 1
+                if taken == 0 and not cur:
+                    # pathological geometry: not even one glyph plus a
+                    # hyphen fits on an empty line (tiny page / huge
+                    # font).  Force one glyph so the loop always makes
+                    # progress instead of spinning forever.
+                    taken = 1
+                    used = hyphen_w + (
+                        500 if mono else width_units(rest[0])
+                    )
                 if taken >= 1:
                     cur_true += used if not cur else SPACE_UNITS + used
                     cur.append(rest[:taken] + "-")

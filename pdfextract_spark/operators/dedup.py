@@ -236,9 +236,19 @@ def paragraph_dedup(
     on the hash with a map-side-combinable min/count (no window over
     the hash groups, so a boilerplate paragraph repeated 10^9 times
     partial-aggregates instead of hot-spotting a task).  The owner key
-    packs (doc, idx) into one bigint; ``max_paras_per_doc`` bounds idx
-    (raise it for pathological documents).
+    packs (doc, idx) into one bigint, which requires a NUMERIC
+    non-negative ``id_col`` (validated) and fewer than
+    ``max_paras_per_doc`` paragraphs per document (enforced with a
+    loud per-row error, never silent corruption — raise the cap for
+    pathological documents).
     """
+    id_type = dict(df.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"paragraph_dedup needs an integer {id_col!r} for owner-key "
+            f"packing, got {id_type or 'missing column'}; add a surrogate "
+            f"id (e.g. monotonically_increasing_id) for string-keyed corpora"
+        )
     paras = (
         df.select(
             F.col(id_col),
@@ -256,7 +266,22 @@ def paragraph_dedup(
         .withColumn("para_hash", F.md5("_norm"))
         .withColumn(
             "_key",
-            F.col(id_col) * max_paras_per_doc + F.col("para_idx"),
+            F.when(
+                (F.col("para_idx") < max_paras_per_doc)
+                & (F.col(id_col) >= 0),
+                F.col(id_col) * max_paras_per_doc + F.col("para_idx"),
+            ).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "paragraph_dedup owner-key overflow: doc %s "
+                        "para %s exceeds max_paras_per_doc=%s or has a "
+                        "negative id",
+                        F.col(id_col).cast("string"),
+                        F.col("para_idx").cast("string"),
+                        F.lit(str(max_paras_per_doc)),
+                    )
+                ).cast("bigint")
+            ),
         )
     )
     owners = paras.groupBy("para_hash").agg(

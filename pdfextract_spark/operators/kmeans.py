@@ -47,9 +47,24 @@ def kmeans(
     """Lloyd's k-means over ``df[keys]``.
 
     Returns ``(centers, assigned)``: the final centre list (dicts with
-    ``cid``, each key, and ``n`` members) and the input DataFrame with
-    a ``cid`` assignment column from the final centers.
+    ``cid``, each key, and ``n`` members) and the assignment DataFrame.
+    Both describe the SAME final round: ``centers`` are the means of
+    the last executed assignment, ``n`` its member counts, and
+    ``assigned`` that assignment itself (cids renumbered consistently
+    with the centre list when empty clusters were dropped) — so the
+    two outputs always cross-tabulate.
+
+    ``df`` must not already carry ``cid``, ``_dist``, ``_rn`` or
+    ``_c_<key>`` columns (same contract style as resolve/rangejoin).
     """
+    reserved = {"cid", "_dist", "_rn"} | {f"_c_{key}" for key in keys}
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"df already has reserved column(s) {clash}; rename them "
+            f"before calling kmeans (e.g. when re-clustering a prior "
+            f"assignment output, drop/alias its 'cid')"
+        )
     if init is None:
         # deterministic init: the k items with the smallest id
         rows = df.orderBy(id_col).limit(k).collect()
@@ -118,4 +133,14 @@ def kmeans(
         {"cid": i, **{key: c[key] for key in keys}, "n": c["n"]}
         for i, c in enumerate(new_centers)
     ]
-    return final, assign(centers)
+    # the returned assignment is the one that PRODUCED the final means
+    # (same round as `n`), with cids remapped to the compacted ids so
+    # it matches the centre list when empty clusters were dropped
+    remap = {c["cid"]: i for i, c in enumerate(new_centers)}
+    out = assigned
+    if any(old != new for old, new in remap.items()):
+        mapping = F.create_map(
+            *[F.lit(x) for pair in remap.items() for x in pair]
+        )
+        out = assigned.withColumn("cid", mapping[F.col("cid")])
+    return final, out

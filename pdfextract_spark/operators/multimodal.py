@@ -104,7 +104,10 @@ def sample_video_frames(payload: bytes, every_ms: int = 1000):  # pragma: no cov
 
 
 def media_features(
-    df: DataFrame, feat_dim: int = 16, use_stub: bool = True
+    df: DataFrame,
+    feat_dim: int = 16,
+    use_stub: bool = True,
+    on_error: str = "zero",
 ) -> DataFrame:
     """Arrow-batched feature extraction over opaque media payloads.
 
@@ -112,13 +115,37 @@ def media_features(
     decodes vectorized and emits a fixed-dim float feature.  At 100 TB
     the input is partitioned by media_id hash; nothing here shuffles.
     ``use_stub=False`` runs the real PIL decode (optional dependency,
-    see decode_image); the default stub keeps oracles reproducible."""
+    see decode_image); the default stub keeps oracles reproducible.
+
+    ``on_error='zero'`` (default) maps rows whose payload fails to
+    decode (NULL, empty, corrupt bytes on the PIL path) to an all-zero
+    feature so one poison row cannot abort a production job;
+    ``'fail'`` re-raises with the offending media_id."""
+    if on_error not in ("zero", "fail"):
+        raise ValueError(f"on_error must be 'zero' or 'fail', got {on_error!r}")
+    if not use_stub and _PILImage is None:
+        # misconfiguration (no Pillow) fails loudly at plan time — only
+        # per-payload decode errors are governed by on_error
+        raise RuntimeError(
+            "media_features(use_stub=False) requires Pillow; install it "
+            "or use the deterministic stub path"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for payload in pdf["payload"]:
-                raw = decode_image(bytes(payload or b""), use_stub=use_stub)
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    raw = decode_image(
+                        bytes(payload or b""), use_stub=use_stub
+                    )
+                except Exception as exc:
+                    if on_error == "fail":
+                        raise RuntimeError(
+                            f"media decode failed for media_id={mid}: "
+                            f"{type(exc).__name__}: {exc}"
+                        ) from exc
+                    raw = np.zeros(0, dtype=np.float32)
                 if raw.size == 0:  # e.g. a 0x0 image through PIL
                     pooled = np.zeros(feat_dim)
                 else:

@@ -201,6 +201,13 @@ URL_RE = r"https?://[^\s]+"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
+def _quote_replacement(token: str) -> str:
+    """Escape Java-regex replacement metacharacters ('\\' and '$') so
+    arbitrary caller tokens are inserted literally (the semantics of
+    java.util.regex.Matcher.quoteReplacement)."""
+    return token.replace("\\", "\\\\").replace("$", "\\$")
+
+
 def scrub_urls_emails(
     col: Column, url_token: str = "<URL>", email_token: str = "<EMAIL>"
 ) -> Column:
@@ -208,8 +215,8 @@ def scrub_urls_emails(
     both patterns are RE2-safe (no backrefs), so any engine's regex
     evaluates them identically.  URL replacement runs first so an
     address embedded in a URL is consumed by the URL token."""
-    clean = F.regexp_replace(col, URL_RE, url_token)
-    return F.regexp_replace(clean, EMAIL_RE, email_token)
+    clean = F.regexp_replace(col, URL_RE, _quote_replacement(url_token))
+    return F.regexp_replace(clean, EMAIL_RE, _quote_replacement(email_token))
 
 
 def url_count(col: Column) -> Column:

@@ -69,6 +69,7 @@ def interval_join(
     b_lo: str = "lo",
     b_hi: str = "hi",
     cell_width: float | None = None,
+    tune_sample_fraction: float | None = None,
 ) -> DataFrame:
     """Inner join of ``a`` × ``b`` on equal ``on`` keys and closed-
     interval overlap ``a_lo <= b_hi AND b_lo <= a_hi``.
@@ -78,9 +79,17 @@ def interval_join(
     Each matching pair appears exactly once.  ``cell_width=None``
     (default) derives the grid size from the sampled median interval
     length (``auto_cell_width``) instead of trusting a constant.
+
+    NOTE: the autotune runs an eager aggregation job over both inputs
+    at CALL time (the join itself stays lazy).  For expensive derived
+    inputs, cache them first, pass ``tune_sample_fraction`` to bound
+    the tuner's scan, or pass an explicit ``cell_width``.
     """
     if cell_width is None:
-        cell_width = auto_cell_width(a, b, a_lo, a_hi, b_lo, b_hi)
+        cell_width = auto_cell_width(
+            a, b, a_lo, a_hi, b_lo, b_hi,
+            sample_fraction=tune_sample_fraction,
+        )
     if not cell_width > 0:
         raise ValueError(f"cell_width must be > 0, got {cell_width}")
     ae = a.withColumn("_cell", F.explode(_cells(F.col(a_lo), F.col(a_hi), cell_width)))

@@ -29,11 +29,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def parse_libsvm_model(text: str) -> dict:
+def parse_libsvm_model(text: str, n_features: int | None = None) -> dict:
     """Parse the libsvm text model format into
     {svm_type, kernel_type, gamma, rho, labels, sv_coef, svs, n_features}.
     Only c_svc two-class models with rbf/linear kernels are supported
-    (what score.rb consumes)."""
+    (what score.rb consumes).
+
+    The sparse format omits zero entries, so the inferred feature count
+    is the maximum index seen across support vectors — if the training
+    space's last feature is zero in every SV, pass ``n_features``
+    explicitly (zero-padding the SV matrix keeps ||x - sv||^2 exact)."""
     header: dict = {}
     sv_lines: list[str] = []
     in_sv = False
@@ -60,7 +65,7 @@ def parse_libsvm_model(text: str) -> dict:
 
     coefs: list[float] = []
     rows: list[dict[int, float]] = []
-    n_features = 0
+    inferred = 0
     for line in sv_lines:
         parts = line.split()
         coefs.append(float(parts[0]))
@@ -68,8 +73,15 @@ def parse_libsvm_model(text: str) -> dict:
         for tok in parts[1:]:
             idx, _, val = tok.partition(":")
             feats[int(idx)] = float(val)
-            n_features = max(n_features, int(idx))
+            inferred = max(inferred, int(idx))
         rows.append(feats)
+    if n_features is None:
+        n_features = inferred
+    elif n_features < inferred:
+        raise ValueError(
+            f"n_features={n_features} is smaller than the largest SV "
+            f"feature index ({inferred})"
+        )
     svs = np.zeros((len(rows), n_features))
     for i, feats in enumerate(rows):
         for idx, val in feats.items():
@@ -86,9 +98,9 @@ def parse_libsvm_model(text: str) -> dict:
     }
 
 
-def load_libsvm_model(path: str) -> dict:
+def load_libsvm_model(path: str, n_features: int | None = None) -> dict:
     with open(path) as fh:
-        return parse_libsvm_model(fh.read())
+        return parse_libsvm_model(fh.read(), n_features=n_features)
 
 
 def _linear_decision(model: dict, cols: list[Column]) -> Column:

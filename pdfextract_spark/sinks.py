@@ -166,6 +166,11 @@ def write_table(
     if storage not in ("auto", "iceberg", "parquet"):
         raise ValueError(f"storage must be auto|iceberg|parquet, got {storage!r}")
     if target.startswith("iceberg:"):
+        if storage == "parquet":
+            raise ValueError(
+                f"contradictory dispatch: target {target!r} has an "
+                f"'iceberg:' prefix but storage='parquet' was passed"
+            )
         target = target[len("iceberg:"):]
         storage = "iceberg"
     if storage == "auto":

@@ -316,6 +316,9 @@ def test_decode_image_paths(spark):
     if not M.HAVE_PIL:
         with _pytest.raises(RuntimeError, match="Pillow"):
             M.decode_image(b"\x89PNG", use_stub=False)
+        media = M.synth_media(spark, 2)
+        with _pytest.raises(RuntimeError, match="Pillow"):
+            M.media_features(media, use_stub=False)
     else:  # exercised when Pillow is installed
         import io
 
@@ -739,3 +742,10 @@ def test_scrub_urls_emails(spark):
     # credentials-in-URL: consumed by the URL token, not double-counted
     assert rows[3]["u"] == 1 and rows[3]["e"] == 0
     assert rows[3]["clean"] == "<URL> only"
+    # replacement tokens with Java-regex metacharacters stay literal
+    dollar = df.where("id = 1").select(
+        Qx.scrub_urls_emails(
+            F.col("text"), url_token="$URL$", email_token="\\E\\"
+        ).alias("c")
+    ).head()["c"]
+    assert dollar == "see $URL$ and mail \\E\\ ."

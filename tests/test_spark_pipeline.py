@@ -445,3 +445,6 @@ def test_write_table_dispatch(spark, tmp_path):
     assert write_table(df, forced, storage="parquet", mode="overwrite") == "parquet"
     with _pytest.raises(ValueError, match="storage"):
         write_table(df, forced, storage="csv")
+    # contradictory prefix + explicit storage is rejected, not guessed
+    with _pytest.raises(ValueError, match="contradictory"):
+        write_table(df, "iceberg:db.t", storage="parquet")
