@@ -1,0 +1,117 @@
+"""Stateful streaming: conversation close-out detection.
+
+The one transcript semantics that genuinely needs streaming STATE
+(everything else in the engine is stateless per turn or a watermarked
+windowed agg): emit exactly one summary row per conversation once no
+further turns have arrived within ``gap`` of event time.  "Is this
+conversation finished?" cannot be expressed declaratively — the answer
+is produced by the ABSENCE of data, so it requires per-key state plus
+an event-time timeout, the ``applyInPandasWithState`` pattern.
+
+State per conv_id: (turns, chars, last_ts).  Each microbatch folds its
+turns into the state and re-arms the timeout at ``last event + gap``;
+when the watermark passes that point the group times out, the closed
+session row is emitted, and the state is freed — bounded memory at any
+conversation count.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turns", IntegerType()),
+        StructField("chars", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("turns", IntegerType()),
+        StructField("chars", LongType()),
+        StructField("last_ts_ms", LongType()),
+    ]
+)
+
+
+def _close_sessions(gap_ms: int):
+    def fn(
+        key: Any,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            turns, chars, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "turns": pd.Series([turns], dtype="int32"),
+                    "chars": pd.Series([chars], dtype="int64"),
+                    "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                }
+            )
+            return
+        turns, chars, last_ms = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        for pdf in pdfs:
+            turns += int(len(pdf))
+            chars += int(pdf["text"].fillna("").str.len().sum())
+            batch_max = pdf["ts"].max()
+            if pd.notna(batch_max):
+                last_ms = max(last_ms, int(batch_max.value // 1_000_000))
+        state.update((turns, chars, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype="object"),
+                "turns": pd.Series([], dtype="int32"),
+                "chars": pd.Series([], dtype="int64"),
+                "last_ts": pd.Series([], dtype="datetime64[ns]"),
+            }
+        )
+
+    return fn
+
+
+def conversation_sessions(
+    stream_df: DataFrame, gap: str = "10 minutes"
+) -> DataFrame:
+    """transcripts stream -> closed-conversation summaries.
+
+    ``stream_df`` needs (conv_id, text, ts); the watermark on ``ts``
+    both bounds late data and drives the event-time timeouts."""
+    n, unit = gap.split()
+    gap_ms = int(n) * {
+        "second": 1_000, "seconds": 1_000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[unit]
+    return (
+        stream_df.withWatermark("ts", gap)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _close_sessions(gap_ms),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -131,3 +131,82 @@ def test_streaming_conv_metrics_plan_is_valid(spark, tmp_path):
     # row content isn't asserted here — plan legality + clean run is
     # the contract under test
     spark.sql("SELECT * FROM conv_metrics_t").collect()
+
+
+def test_stateful_conversation_close_out(spark, tmp_path):
+    """applyInPandasWithState session close-out: a conversation's
+    summary row is emitted only after the watermark passes its last
+    event + gap (i.e. newer data from OTHER conversations arrives),
+    and the emitted row aggregates every microbatch that touched the
+    conversation; state is then freed."""
+    import time
+
+    from pdfextract_spark.streaming.stateful import conversation_sessions
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    ddl = "conv_id string, turn_idx int, role string, text string, ts timestamp"
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_batch(rows, path):
+        spark.createDataFrame(rows, ddl).write.parquet(path)
+
+    # batch 1: conv A gets two turns (12:00, 12:01)
+    write_batch(
+        [
+            ("A", 0, "user", "hello", t0),
+            ("A", 1, "assistant", "hi there", t0 + dt.timedelta(minutes=1)),
+        ],
+        f"{in_dir}/b1",
+    )
+
+    def run_once():
+        src = spark.readStream.schema(ddl).option(
+            "pathGlobFilter", "*.parquet"
+        ).parquet(f"{in_dir}/*")
+        q = (
+            conversation_sessions(src, gap="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # nothing closed yet: watermark has not passed A's last_ts + gap
+    got = spark.read.schema(
+        "conv_id string, turns int, chars long, last_ts timestamp"
+    ).parquet(out_dir)
+    assert got.count() == 0
+
+    # batch 2: conv B arrives 30 minutes later -> watermark advances
+    # beyond A's timeout; A closes with BOTH its turns aggregated
+    write_batch(
+        [("B", 0, "user", "later conv", t0 + dt.timedelta(minutes=30))],
+        f"{in_dir}/b2",
+    )
+    run_once()
+    # one more empty-advance batch lets the engine evaluate timeouts
+    write_batch(
+        [("C", 0, "user", "even later", t0 + dt.timedelta(minutes=60))],
+        f"{in_dir}/b3",
+    )
+    run_once()
+    rows = {
+        r["conv_id"]: r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert "A" in rows
+    a = rows["A"]
+    assert a["turns"] == 2 and a["chars"] == len("hello") + len("hi there")
+    assert a["last_ts"] == t0 + dt.timedelta(minutes=1)
+    # B may or may not have closed depending on watermark advance; A's
+    # exactly-once close is the stateful contract under test
+    assert spark.read.parquet(out_dir).where("conv_id = 'A'").count() == 1
