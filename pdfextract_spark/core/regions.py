@@ -22,23 +22,6 @@ def _incident(l: dict, r: dict) -> bool:
     )
 
 
-def _append_line_offsets(region: dict) -> None:
-    """regions.rb:27-33"""
-    for line in region.setdefault("lines", []):
-        line["x_offset"] = line["x"] - region["x"]
-        line["y_offset"] = line["y"] - region["y"]
-
-
-def _append_line_spacing(region: dict) -> None:
-    """regions.rb:35-43 — spacing = vertical gap above each line,
-    walking lines in stored (top-down) order."""
-    height_taken = 0.0
-    for line in region.setdefault("lines", []):
-        from_top = region["height"] - (line["y_offset"] + line["height"])
-        line["spacing"] = from_top - height_taken
-        height_taken = from_top + line["height"]
-
-
 def _text_len(obj: dict) -> int:
     """len(spatial.get_text_content(obj)) without building the string:
     line contents carry no edge whitespace (both the typeset fast path
@@ -149,9 +132,26 @@ def regions_for_page(
         region["lines"].reverse()  # undo the reversed merge storage
 
     for region in regions:
-        _append_line_offsets(region)
-        _append_line_spacing(region)
-        region["lines"] = [spatial.drop_spatial(line) for line in region["lines"]]
+        # fused offsets (regions.rb:27-33) + spacing (regions.rb:35-43)
+        # + drop-spatial projection (P2): one pass per line building the
+        # slim output dict directly instead of mutate+mutate+re-filter
+        rx, ry, rh = region["x"], region["y"], region["height"]
+        height_taken = 0.0
+        slim = []
+        for line in region["lines"]:
+            y_off = line["y"] - ry
+            lh = line["height"]
+            from_top = rh - (y_off + lh)
+            slim.append(
+                {
+                    "content": line["content"],
+                    "x_offset": line["x"] - rx,
+                    "y_offset": y_off,
+                    "spacing": from_top - height_taken,
+                }
+            )
+            height_taken = from_top + lh
+        region["lines"] = slim
 
     # regions.rb:111 — top-to-bottom output order (stable descending y)
     regions.sort(key=lambda o: -o["y"])
