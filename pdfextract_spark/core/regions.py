@@ -6,8 +6,12 @@ W5 (line offsets + spacing), P2 (drop spatial attrs from lines).
 
 from __future__ import annotations
 
+from operator import itemgetter
+
 from ..settings import Settings
 from . import spatial
+
+_Y_KEY = itemgetter("y")
 
 
 def _incident(l: dict, r: dict) -> bool:
@@ -62,17 +66,35 @@ def regions_for_page(
     # ``copy=False`` lets a caller that owns the chunk dicts (the
     # per-turn fast path, which rebuilds them every turn) skip the
     # defensive copy; the merge mutates them in place either way.
-    ordered = [dict(c) for c in chunks] if copy else list(chunks)
-    for i, c in enumerate(ordered):
-        c["_arr"] = i
-    ordered.sort(key=lambda c: (c["y"], -c["_arr"]))
+    # a stable sort over the REVERSED list by y alone puts equal-y ties
+    # newest-first — identical to the old (y, -arrival) composite key,
+    # without per-chunk marker columns or tuple keys
+    ordered = (
+        [dict(c) for c in reversed(chunks)]
+        if copy
+        else list(reversed(chunks))
+    )
+    ordered.sort(key=_Y_KEY)
 
-    # convert chunks to line-content carriers (regions.rb:70-74)
+    # convert chunks to line-content carriers (regions.rb:70-74),
+    # inlining as_line + the single-line _text_len
     for c in ordered:
-        c.pop("_arr")
-        c["lines"] = [spatial.as_line(c)]
-        c.pop("content", None)
-        c["_tlen"] = _text_len(c)
+        content = c.pop("content", None) or ""
+        c["lines"] = [
+            {
+                "x": c["x"],
+                "y": c["y"],
+                "width": c["width"],
+                "height": c["height"],
+                "page": c["page"],
+                "page_width": c["page_width"],
+                "page_height": c["page_height"],
+                "content": content,
+            }
+        ]
+        c["_tlen"] = max(
+            len(content) - 1 if content.endswith("-") else len(content), 0
+        )
 
     regions: list[dict] = []
     compare_index = 1
