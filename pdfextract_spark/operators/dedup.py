@@ -320,3 +320,62 @@ def strip_duplicate_paragraphs(
             "\n\n", F.transform(ordered, lambda s: s["para"])
         ).alias("clean_text"),
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node's label becomes the minimum of
+    its own and its neighbors', repeated until a fixpoint.  Converges
+    in O(diameter) rounds — duplicate clusters from LSH have tiny
+    diameters, so a handful of rounds suffices (``max_iter`` bounds
+    pathological chains; raising it is safe).
+
+    This closes the gap between candidate PAIRS and production dedup:
+    picking one representative per duplicate CLUSTER (min id = the
+    component label) requires the transitive closure, not pairs.
+    Returns (node, comp).  Each iteration is two shuffles (propagate,
+    re-minimize) on data sized by edges — the standard scalable shape
+    (large-star/small-star refinements drop in here if diameters grow).
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionAll(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    # checkpoint truncates the lineage the iterative loop would
+    # otherwise grow without bound (each round re-plans the previous)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("neigh_comp"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("neigh_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("comp"))

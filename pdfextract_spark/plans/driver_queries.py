@@ -2759,3 +2759,128 @@ def scrub_urls_emails(spark, sf_dir):
             F.regexp_replace(no_url, Qx.EMAIL_RE, "<EMAIL>")
         ).alias("clean_hash"),
     )
+
+
+# =====================================================================
+# Duplicate-cluster connected components (pairs -> clusters)
+# =====================================================================
+
+_CC_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             text || ' duplicated mirror copy' FROM documents
+      WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             text || ' duplicated mirror copy again' FROM documents
+      WHERE doc_id % 8 = 0
+"""
+
+
+@q(
+    "dedup_duplicate_clusters",
+    f"""
+    WITH RECURSIVE corpus AS ({_CC_CORPUS_SQL}),
+    n AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, greatest(len(w) - 2, 1))] AS shingles
+      FROM n WHERE len(w) >= 3
+    ),
+    sig AS (
+      SELECT doc_id,
+             [list_min([substring(md5(s || '#' || (seed // 4)),
+                                  (seed % 4) * 8 + 1, 8)
+                        for s in shingles])
+              for seed in generate_series(0, 15)] AS mh
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(array_to_string(mh[band * 4 + 1 : band * 4 + 4], ','))
+               AS band_hash
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    ),
+    dsh AS (
+      SELECT doc_id, list_distinct(shingles) AS s FROM sh
+    ),
+    edges AS (
+      SELECT c.a, c.b
+      FROM cand c JOIN dsh x ON c.a = x.doc_id
+                  JOIN dsh y ON c.b = y.doc_id
+      WHERE len(list_intersect(x.s, y.s)) * 1.0 /
+            len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+    ),
+    sym AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+      SELECT src AS node, least(src, min(dst)) AS comp
+      FROM reach GROUP BY src
+    )
+    SELECT comp.comp AS comp,
+           count(*)::INT AS cluster_size,
+           min(node) AS rep_doc
+    FROM comp GROUP BY comp.comp
+    """,
+)
+def dedup_duplicate_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS, not just pairs: LSH candidates -> exact
+    Jaccard >= 0.5 verify -> connected components via min-label
+    propagation (operators/dedup.connected_components).  Production
+    dedup keeps one representative per component (rep_doc = min id);
+    the synthesized corpus plants 2- and 3-member mirror groups since
+    the driver documents are all unique.  The recursive-CTE oracle
+    computes the same transitive closure."""
+    from ..operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionAll(
+            docs.where(F.col("doc_id") % 4 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" duplicated mirror copy")).alias(
+                    "text"
+                ),
+            )
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 8 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" duplicated mirror copy again")
+                ).alias("text"),
+            )
+        )
+    )
+    corpus = _spread(spark, corpus).where(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    cand = lsh_candidate_pairs(corpus, num_hashes=16, band_size=4, k=3)
+    edges = jaccard_pairs(corpus, cand, k=3).where(F.col("jaccard") >= 0.5)
+    comp = connected_components(edges)
+    return comp.groupBy("comp").agg(
+        F.count("*").cast("int").alias("cluster_size"),
+        F.min("node").alias("rep_doc"),
+    )

@@ -785,3 +785,22 @@ def test_ivf_bucketed_table_partition_pruning(spark, tmp_path):
     rows = probed.select("bucket").collect()
     assert 0 < len(rows) < table.count()
     assert {r["bucket"] for r in rows} <= set(allowed)
+
+
+def test_connected_components_min_label(spark):
+    """Components over an undirected edge list: chains collapse to one
+    component labeled by the minimum node, disjoint edges stay apart,
+    and convergence handles a diameter longer than one round."""
+    from pdfextract_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4), pair 10-11, pair 20-21 linked
+        # to the chain via 5-20
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 20), (20, 21), (10, 11)],
+        "a long, b long",
+    )
+    comp = {
+        r["node"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert {comp[n] for n in (1, 2, 3, 4, 5, 20, 21)} == {1}
+    assert comp[10] == comp[11] == 10
