@@ -268,7 +268,12 @@ def paragraph_dedup(
             "_key",
             F.when(
                 (F.col("para_idx") < max_paras_per_doc)
-                & (F.col(id_col) >= 0),
+                & (F.col(id_col) >= 0)
+                # the multiplication itself must not overflow bigint
+                & (
+                    F.col(id_col)
+                    <= (2**63 - 1 - max_paras_per_doc) // max_paras_per_doc
+                ),
                 F.col(id_col) * max_paras_per_doc + F.col("para_idx"),
             ).otherwise(
                 F.raise_error(
@@ -352,6 +357,8 @@ def connected_components(
     # checkpoint truncates the lineage the iterative loop would
     # otherwise grow without bound (each round re-plans the previous)
     sym = sym.localCheckpoint(eager=True)
+    converged = False
+    prev = None
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -375,7 +382,19 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the superseded round's checkpoint is dead once labels moves
+        # on — release its storage instead of retaining max_iter copies
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(a component's diameter exceeds max_iter); raise max_iter — "
+            f"returning partial labels would silently corrupt dedup"
+        )
     return labels.select(F.col("node"), F.col("comp"))

@@ -2875,7 +2875,7 @@ def dedup_duplicate_clusters(spark, sf_dir):
         )
     )
     corpus = _spread(spark, corpus).where(
-        F.size(F.split(F.col("text"), " ")) >= 3
+        F.size(F.split(dedup.normalize_text(F.col("text")), " ")) >= 3
     )
     cand = lsh_candidate_pairs(corpus, num_hashes=16, band_size=4, k=3)
     edges = jaccard_pairs(corpus, cand, k=3).where(F.col("jaccard") >= 0.5)

@@ -21,6 +21,7 @@ from typing import Any, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
@@ -78,7 +79,12 @@ def _close_sessions(gap_ms: int):
             if pd.notna(batch_max):
                 last_ms = max(last_ms, int(batch_max.value // 1_000_000))
         state.update((turns, chars, last_ms))
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+        if last_ms > 0:
+            # a batch of only null-ts rows leaves last_ms unset; arming
+            # a 1970 timeout would raise (timestamp < watermark) and
+            # kill the query — the timeout re-arms when a timed row
+            # arrives (null-ts rows are also filtered upstream)
+            state.setTimeoutTimestamp(last_ms + gap_ms)
         yield pd.DataFrame(
             {
                 "conv_id": pd.Series([], dtype="object"),
@@ -105,7 +111,8 @@ def conversation_sessions(
         "hour": 3_600_000, "hours": 3_600_000,
     }[unit]
     return (
-        stream_df.withWatermark("ts", gap)
+        stream_df.where(F.col("ts").isNotNull())
+        .withWatermark("ts", gap)
         .groupBy("conv_id")
         .applyInPandasWithState(
             _close_sessions(gap_ms),

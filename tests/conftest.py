@@ -1,16 +1,15 @@
-import tempfile
-
 import pytest
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from pyspark.sql import SparkSession
 
-    # warehouse under /tmp: catalog-backed tests (bucketed tables)
-    # must never write inside the repo, and warehouse.dir is a static
-    # conf that cannot be changed after session start
-    wh = tempfile.mkdtemp(prefix="pdfextract_spark_wh_")
+    # warehouse under pytest's session tmp dir: catalog-backed tests
+    # (bucketed tables) must never write inside the repo, warehouse.dir
+    # is a static conf that cannot change after session start, and
+    # pytest prunes old tmp_path_factory dirs so runs don't accumulate
+    wh = str(tmp_path_factory.mktemp("spark_warehouse"))
     s = (
         SparkSession.builder.master("local[2]")
         .appName("pdfextract-spark-tests")

@@ -804,3 +804,12 @@ def test_connected_components_min_label(spark):
     }
     assert {comp[n] for n in (1, 2, 3, 4, 5, 20, 21)} == {1}
     assert comp[10] == comp[11] == 10
+    # exhausting max_iter before the fixpoint fails loudly instead of
+    # returning silently-wrong partial labels
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)
