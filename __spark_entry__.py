@@ -33,8 +33,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles for every SQL-expressible query (UDF-bound
-    pipeline_* entries are rows-only by design)."""
+    """Exact value-hash oracle for EVERY query: ANSI SQL DuckDB can
+    run directly for the SQL-expressible ones, and a read_parquet
+    SELECT over the committed golden parquet (frozen from the
+    deterministic kernel, tools/freeze_pipeline_goldens.py) for the
+    UDF-bound pipeline_* stages."""
     from pdfextract_spark.plans.driver_queries import ORACLES
 
     return dict(ORACLES)
