@@ -2884,3 +2884,69 @@ def dedup_duplicate_clusters(spark, sf_dir):
         F.count("*").cast("int").alias("cluster_size"),
         F.min("node").alias("rep_doc"),
     )
+
+
+# =====================================================================
+# J6 (beyond-reference): as-of / point-in-time join
+# =====================================================================
+
+@q(
+    "j6_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+      FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT event_id AS rid, user_id, epoch_ms(ts) AS ts_ms,
+             round(value, 6)::DOUBLE AS quote
+      FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+      SELECT user_id, ts_ms, 1 AS side, event_id,
+             NULL::BIGINT AS rid, NULL::DOUBLE AS quote
+      FROM l
+      UNION ALL
+      SELECT user_id, ts_ms, 0 AS side, NULL, rid, quote FROM r
+    ),
+    c AS (
+      SELECT user_id, ts_ms, side, event_id,
+             last_value(quote IGNORE NULLS) OVER w AS quote,
+             last_value(CASE WHEN side = 0 THEN ts_ms END IGNORE NULLS)
+               OVER w AS matched_ts
+      FROM u
+      WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY ts_ms ASC, side ASC, rid ASC NULLS LAST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT event_id, user_id, ts_ms, quote, matched_ts
+    FROM c WHERE side = 1
+    """,
+)
+def j6_asof_join(spark, sf_dir):
+    """As-of join (point-in-time): each click gets the user's latest
+    PRECEDING purchase value.  Union + one shuffle + ordered window
+    with last(ignorenulls) — never a per-row subquery; the oracle
+    states the identical window so tie-breaks are engine-exact."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", _ms(spark, "ts").alias("ts_ms")
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("rid"),
+        "user_id",
+        _ms(spark, "ts").alias("ts_ms"),
+        F.round("value", 6).alias("quote"),
+    )
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts_ms",
+        value_cols=["quote"], right_id_col="rid",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_ms", "quote",
+        F.col("ts_ms_asof").alias("matched_ts"),
+    )

@@ -813,3 +813,53 @@ def test_connected_components_min_label(spark):
     )
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(chain, max_iter=2)
+
+
+def test_asof_join_semantics(spark):
+    """Point-in-time join: latest right row at or BEFORE each left ts
+    per key (inclusive at equal ts), NULL when nothing precedes,
+    tolerance voids stale matches, duplicate (key, ts) right rows
+    resolve by the greatest right id (total order), and value-column
+    collisions are rejected."""
+    import pytest as _pytest
+
+    from pdfextract_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 50), (4, "v", 100)],
+        "eid long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u", 100, 1.0),   # equal ts -> matches left eid 1
+            (11, "u", 200, 2.0),
+            (12, "u", 200, 3.0),   # same (k, ts): greatest id wins
+            (13, "w", 10, 9.0),    # other key
+        ],
+        "rid long, k string, ts long, px double",
+    )
+    out = {
+        r["eid"]: r
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts",
+            value_cols=["px"], right_id_col="rid",
+        ).collect()
+    }
+    assert out[1]["px"] == 1.0 and out[1]["ts_asof"] == 100  # inclusive
+    assert out[2]["px"] == 3.0 and out[2]["ts_asof"] == 200  # id tie-break
+    assert out[3]["px"] is None and out[3]["ts_asof"] is None
+    assert out[4]["px"] is None  # key v has no right rows
+    # tolerance: eid 2 at ts 205 with tolerance 3 -> match at 200 stale
+    tol = {
+        r["eid"]: r["px"]
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts",
+            value_cols=["px"], right_id_col="rid", tolerance=3,
+        ).collect()
+    }
+    assert tol[1] == 1.0 and tol[2] is None
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left.withColumnRenamed("eid", "px"), right, on=["k"],
+            ts_col="ts", value_cols=["px"], right_id_col="rid",
+        )
