@@ -1,0 +1,87 @@
+"""Count-min sketch over a distributed column (build brief: "a novel
+sketch" as a custom operator).
+
+A CMS summarizes item frequencies in a fixed (depth x width) grid of
+counters: counter (d, hash_d(item) % width) accumulates every
+occurrence; a point query reads the MIN over the depth rows —
+an overestimate bounded by eps = e/width with probability
+1 - (1/e)^depth.  The sketch is LINEAR, which is what makes it a
+first-class distributed operator: per-partition sketches merge by
+cell-wise addition, so building one is a single map-side-combinable
+groupBy over (depth, bucket) — one shuffle of at most depth*width
+rows regardless of input size.
+
+Hashing is md5-based (hash_d(x) = bigint of 12 hex chars of
+md5(x || '#' || d)) so any md5-equipped engine — the DuckDB oracle —
+reproduces every cell bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col: Column, d: int, width: int) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(f"#{d}"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build the sketch: one row per non-empty cell
+    (depth, bucket, cnt).  Explode each item to its ``depth`` cells in
+    the scan projection; the single shuffle carries at most
+    depth * width aggregated rows."""
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _bucket(F.col(col), d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.depth", "c.bucket")
+    return cells.groupBy("depth", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_point_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Estimated count per item: min over the depth rows of the item's
+    cells (cells absent from the sketch are zero).  The small sketch
+    side broadcasts; never an n x n join."""
+    probes = items.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _bucket(F.col(col), d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(col, "c.depth", "c.bucket")
+    joined = probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias("est_count")
+    )

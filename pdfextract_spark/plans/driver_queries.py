@@ -2950,3 +2950,105 @@ def j6_asof_join(spark, sf_dir):
         "event_id", "user_id", "ts_ms", "quote",
         F.col("ts_ms_asof").alias("matched_ts"),
     )
+
+
+# =====================================================================
+# Hypertable-style continuous rollup + count-min sketch (build brief)
+# =====================================================================
+
+@q(
+    "hypertable_rollup",
+    """
+    WITH e AS (
+      SELECT event_type,
+             epoch_ms(date_trunc('day', ts)::TIMESTAMP) AS day_ms,
+             epoch_ms(date_trunc('hour', ts)::TIMESTAMP) AS hour_ms,
+             floor(value * 100)::BIGINT AS cents
+      FROM events
+    )
+    SELECT event_type, day_ms, hour_ms,
+           grouping(day_ms)::INT AS g_day,
+           grouping(hour_ms)::INT AS g_hour,
+           count(*) AS n, sum(cents) AS cents
+    FROM e
+    GROUP BY event_type, ROLLUP(day_ms, hour_ms)
+    """,
+)
+def hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: per-hour, per-day, and
+    per-type totals in ONE pass via partial ROLLUP grouping sets (the
+    TimescaleDB continuous-aggregate shape, Catalyst-native — partial
+    aggregation covers every granularity inside the same shuffle;
+    grouping() flags disambiguate rolled-up NULLs).  Integer cents
+    keep cross-engine sums exact in any aggregation order."""
+    ev = load_table(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev.select(
+        "event_type",
+        F.unix_millis(
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+        ).alias("day_ms"),
+        F.unix_millis(
+            F.date_trunc("hour", F.col("ts").cast("timestamp"))
+        ).alias("hour_ms"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView("_ht_events")
+    return spark.sql(
+        """
+        SELECT event_type, day_ms, hour_ms,
+               CAST(grouping(day_ms) AS INT) AS g_day,
+               CAST(grouping(hour_ms) AS INT) AS g_hour,
+               count(*) AS n, sum(cents) AS cents
+        FROM _ht_events
+        GROUP BY event_type, ROLLUP(day_ms, hour_ms)
+        """
+    )
+
+
+@q(
+    "sketch_count_min",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                    '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    terms AS (SELECT term FROM w WHERE term <> ''),
+    cells AS (
+      SELECT d.d AS depth,
+             ('0x' || substring(md5(term || '#' || d.d), 1, 12))::BIGINT
+               % 256 AS bucket
+      FROM terms, (SELECT unnest(generate_series(0, 3)) AS d) d
+    ),
+    sk AS (
+      SELECT depth, bucket, count(*) AS cnt
+      FROM cells GROUP BY depth, bucket
+    ),
+    probes AS (
+      SELECT q.term, d.d AS depth,
+             ('0x' || substring(md5(q.term || '#' || d.d), 1, 12))::BIGINT
+               % 256 AS bucket
+      FROM (SELECT unnest(['the','of','data','zyzzyva_absent']) AS term) q,
+           (SELECT unnest(generate_series(0, 3)) AS d) d
+    )
+    SELECT p.term, min(coalesce(sk.cnt, 0)) AS est_count
+    FROM probes p LEFT JOIN sk USING (depth, bucket)
+    GROUP BY p.term
+    """,
+)
+def sketch_count_min(spark, sf_dir):
+    """Count-min sketch of the corpus term stream (4 x 256 cells, one
+    map-side-combinable shuffle of <= 1024 rows regardless of corpus
+    size) probed for three common terms and one absent term; cells are
+    md5-derived so the oracle rebuilds the identical sketch."""
+    from ..operators.sketch import cms_build, cms_point_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("term")
+    ).where(F.col("term") != "")
+    sk = cms_build(terms, "term", depth=4, width=256)
+    probes = spark.createDataFrame(
+        [("the",), ("of",), ("data",), ("zyzzyva_absent",)], "term string"
+    )
+    return cms_point_query(sk, probes, "term", depth=4, width=256)

@@ -863,3 +863,35 @@ def test_asof_join_semantics(spark):
             left.withColumnRenamed("eid", "px"), right, on=["k"],
             ts_col="ts", value_cols=["px"], right_id_col="rid",
         )
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS guarantees: estimates never undercount, exact for skewed
+    heavy hitters at this density, and the sketch is LINEAR — building
+    on two halves and summing cells equals building on the whole
+    (the property that makes it map-side-combinable at any scale)."""
+    from pdfextract_spark.operators.sketch import cms_build, cms_point_query
+
+    rows = [("x",)] * 50 + [("y",)] * 7 + [(f"noise{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "term string")
+    sk = cms_build(df, "term", depth=4, width=64)
+    probes = spark.createDataFrame([("x",), ("y",), ("absent",)], "term string")
+    est = {
+        r["term"]: r["est_count"]
+        for r in cms_point_query(sk, probes, "term", depth=4, width=64).collect()
+    }
+    assert est["x"] >= 50 and est["y"] >= 7  # never undercounts
+    assert est["x"] <= 50 + 40 and est["absent"] <= 40  # eps-bounded
+    # linearity: sum of half-sketches == whole-corpus sketch
+    h1 = cms_build(spark.createDataFrame(rows[:40], "term string"), "term",
+                   depth=4, width=64)
+    h2 = cms_build(spark.createDataFrame(rows[40:], "term string"), "term",
+                   depth=4, width=64)
+    merged = (
+        h1.unionAll(h2)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r["depth"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    b = {(r["depth"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    assert a == b
