@@ -2904,24 +2904,26 @@ def dedup_duplicate_clusters(spark, sf_dir):
     ),
     u AS (
       SELECT user_id, ts_ms, 1 AS side, event_id,
-             NULL::BIGINT AS rid, NULL::DOUBLE AS quote
-      FROM l
+             NULL::BIGINT AS rid,
+             NULL::ROW(quote DOUBLE, rts BIGINT) AS m
+      FROM l WHERE ts_ms IS NOT NULL
       UNION ALL
-      SELECT user_id, ts_ms, 0 AS side, NULL, rid, quote FROM r
+      SELECT user_id, ts_ms, 0 AS side, NULL, rid,
+             row(quote, ts_ms)
+      FROM r WHERE ts_ms IS NOT NULL
     ),
     c AS (
       SELECT user_id, ts_ms, side, event_id,
-             last_value(quote IGNORE NULLS) OVER w AS quote,
-             last_value(CASE WHEN side = 0 THEN ts_ms END IGNORE NULLS)
-               OVER w AS matched_ts
+             last_value(m IGNORE NULLS) OVER w AS cm
       FROM u
       WINDOW w AS (
         PARTITION BY user_id
-        ORDER BY ts_ms ASC, side ASC, rid ASC NULLS LAST
+        ORDER BY ts_ms ASC NULLS LAST, side ASC, rid ASC NULLS LAST
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
       )
     )
-    SELECT event_id, user_id, ts_ms, quote, matched_ts
+    SELECT event_id, user_id, ts_ms,
+           cm.quote AS quote, cm.rts AS matched_ts
     FROM c WHERE side = 1
     """,
 )
@@ -2983,7 +2985,7 @@ def hypertable_rollup(spark, sf_dir):
     keep cross-engine sums exact in any aggregation order."""
     ev = load_table(spark, sf_dir, "events")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev.select(
+    e = ev.select(
         "event_type",
         F.unix_millis(
             F.date_trunc("day", F.col("ts").cast("timestamp"))
@@ -2992,16 +2994,18 @@ def hypertable_rollup(spark, sf_dir):
             F.date_trunc("hour", F.col("ts").cast("timestamp"))
         ).alias("hour_ms"),
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
-    ).createOrReplaceTempView("_ht_events")
+    )
+    # templated DataFrame reference (no session temp-view side effects)
     return spark.sql(
         """
         SELECT event_type, day_ms, hour_ms,
                CAST(grouping(day_ms) AS INT) AS g_day,
                CAST(grouping(hour_ms) AS INT) AS g_hour,
                count(*) AS n, sum(cents) AS cents
-        FROM _ht_events
+        FROM {e}
         GROUP BY event_type, ROLLUP(day_ms, hour_ms)
-        """
+        """,
+        e=e,
     )
 
 
@@ -3043,7 +3047,7 @@ def sketch_count_min(spark, sf_dir):
     md5-derived so the oracle rebuilds the identical sketch."""
     from ..operators.sketch import cms_build, cms_point_query
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     terms = docs.select(
         F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("term")
     ).where(F.col("term") != "")

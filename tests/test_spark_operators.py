@@ -863,6 +863,28 @@ def test_asof_join_semantics(spark):
             left.withColumnRenamed("eid", "px"), right, on=["k"],
             ts_col="ts", value_cols=["px"], right_id_col="rid",
         )
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left.withColumnRenamed("eid", "_rid"), right, on=["k"],
+            ts_col="ts", value_cols=["px"], right_id_col="rid",
+        )
+    # a NULL right VALUE must not splice with an older row's value:
+    # the whole right row is carried atomically
+    r2 = spark.createDataFrame(
+        [(1, "u", 0, 5.0), (2, "u", 100, None)],
+        "rid long, k string, ts long, px double",
+    )
+    l2 = spark.createDataFrame([(7, "u", 105)], "eid long, k string, ts long")
+    row = asof_join(
+        l2, r2, on=["k"], ts_col="ts", value_cols=["px"],
+        right_id_col="rid", tolerance=10,
+    ).head()
+    assert row["px"] is None and row["ts_asof"] == 100
+    # null-timestamp rows are dropped on entry (cannot match / be matched)
+    l3 = spark.createDataFrame([(8, "u", None)], "eid long, k string, ts long")
+    assert asof_join(
+        l3, r2, on=["k"], ts_col="ts", value_cols=["px"], right_id_col="rid"
+    ).count() == 0
 
 
 def test_count_min_sketch_properties(spark):
