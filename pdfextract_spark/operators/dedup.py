@@ -109,9 +109,27 @@ def minhash_bands(
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
     )
-    mins = sh.groupBy(id_col).agg(
+    # project each salt's md5 ONCE before the aggregation: Catalyst
+    # does not common-subexpression-eliminate the md5 across the
+    # num_hashes min() aggregates, so aggregating _mh_expr directly
+    # recomputes every md5 CHUNKS_PER_MD5 times (~25% slower measured)
+    n_salts = (num_hashes + CHUNKS_PER_MD5 - 1) // CHUNKS_PER_MD5
+    pre = sh.select(
+        id_col,
         *[
-            F.min(_mh_expr(s, F.col("sh"))).alias(f"mh{s}")
+            F.md5(F.concat(F.col("sh"), F.lit(f"#{salt}"))).alias(f"_h{salt}")
+            for salt in range(n_salts)
+        ],
+    )
+    mins = pre.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.substring(
+                    F.col(f"_h{s // CHUNKS_PER_MD5}"),
+                    (s % CHUNKS_PER_MD5) * 8 + 1,
+                    8,
+                )
+            ).alias(f"mh{s}")
             for s in range(num_hashes)
         ]
     )
