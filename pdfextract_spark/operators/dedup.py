@@ -76,13 +76,20 @@ def _mh_expr(s: int, shingle_col: Column) -> Column:
 
 
 def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """MinHash signature as array<string> (see _mh_expr)."""
+    """MinHash signature as array<string> (see _mh_expr).
+
+    NOTE the closure shape: ``F.transform`` passes the ELEMENT INDEX
+    to any two-parameter callable, so the idiomatic ``lambda x, s=s:``
+    default-arg trick silently binds the index over the seed — the
+    seed must be captured by a dedicated single-parameter closure."""
     sh = word_shingles(col, k)
+
+    def mh(s: int):
+        return lambda x: _mh_expr(s, x)
+
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda x, s=s: _mh_expr(s, x))).alias(
-                f"mh{s}"
-            )
+            F.array_min(F.transform(sh, mh(s))).alias(f"mh{s}")
             for s in range(num_hashes)
         ]
     )

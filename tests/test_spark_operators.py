@@ -917,3 +917,36 @@ def test_count_min_sketch_properties(spark):
     a = {(r["depth"], r["bucket"]): r["cnt"] for r in merged.collect()}
     b = {(r["depth"], r["bucket"]): r["cnt"] for r in sk.collect()}
     assert a == b
+
+
+def test_minhash_signature_and_fingerprint_columns(spark):
+    """The column-level conveniences agree with their table-level /
+    query forms: minhash_signature's per-function minima equal
+    minhash_bands' aggregated mins, and char_shingle_fingerprint is
+    the md5-int min over k-char shingles."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    sig = df.select(
+        dedup.minhash_signature(F.col("text"), num_hashes=8, k=3).alias("s")
+    ).head()["s"]
+    sh = df.select(
+        "doc_id", F.explode(dedup.word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    want = [
+        sh.agg(F.min(dedup._mh_expr(s, F.col("sh")))).head()[0]
+        for s in range(8)
+    ]
+    assert sig == want
+    fp = df.select(
+        Q.char_shingle_fingerprint(F.col("text"), k=8).alias("f")
+    ).head()["f"]
+    import hashlib
+
+    norm = "the quick brown fox jumps over the lazy dog"
+    mins = min(
+        int(hashlib.md5(norm[i : i + 8].encode()).hexdigest()[:12], 16)
+        for i in range(len(norm) - 7)
+    )
+    assert fp == mins
