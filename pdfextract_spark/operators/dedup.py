@@ -225,9 +225,12 @@ def simhash(col: Column, bits: int = 16) -> Column:
     to 16 to bound codegen'd expression size; each bit is an integer
     aggregate over the token array, order-independent and exact."""
     tokens = F.split(normalize_text(col), " ")
-    # hash each token ONCE; the per-bit aggregates then only read one
-    # hex nibble each (16 md5s/token -> 1 md5/token)
     hexes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, bits))
+    return _simhash_bits(hexes, bits)
+
+
+def _simhash_bits(hexes: Column, bits: int) -> Column:
+    """Fingerprint from a per-token md5-hex array column."""
     out = F.lit(0).cast("bigint")
     for j in range(bits):
         bit_sum = F.aggregate(
@@ -243,6 +246,30 @@ def simhash(col: Column, bits: int = 16) -> Column:
         )
         out = out + F.when(bit_sum > 0, F.lit(2**j).cast("bigint")).otherwise(0)
     return out
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, fingerprint) with the md5-hex array PROJECTED ONCE before
+    the per-bit aggregates.  The single-expression ``simhash`` column
+    embeds the token-hash subtree in every bit aggregate and Catalyst
+    does not eliminate it across them (~3.5x slower measured at
+    sf0.1); naming the array in its own projection hashes each token
+    exactly once.  Same values, same oracle."""
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    hx = df.select(
+        F.col(id_col),
+        F.transform(
+            tokens, lambda t: F.substring(F.md5(t), 1, bits)
+        ).alias("_hexes"),
+    )
+    return hx.select(
+        id_col, _simhash_bits(F.col("_hexes"), bits).alias("fingerprint")
+    )
 
 
 # --- cross-corpus paragraph-level exact dedup (C4/RefinedWeb-style) ------

@@ -797,9 +797,7 @@ def dedup_simhash(spark, sf_dir):
     """SimHash(16) fingerprint per doc — md5-nibble bit definition is
     engine-portable; near-dups differ in few bits (Hamming join)."""
     docs = _spread(spark, load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id", dedup.simhash(F.col("text"), bits=16).alias("fingerprint")
-    )
+    return dedup.simhash_table(docs, bits=16)
 
 
 @q(
@@ -1287,8 +1285,8 @@ def dedup_simhash_pairs(spark, sf_dir):
     byte collides; a production pipeline unions several byte-rotations
     for full recall), then verify by exact Hamming distance."""
     docs = _spread(spark, load_table(spark, sf_dir, "documents"))
-    fp = docs.select(
-        "doc_id", dedup.simhash(F.col("text"), bits=16).alias("fp")
+    fp = dedup.simhash_table(docs, bits=16).select(
+        "doc_id", F.col("fingerprint").alias("fp")
     )
     a = fp.select(F.col("doc_id").alias("a"), F.col("fp").alias("fp_a"))
     b = fp.select(F.col("doc_id").alias("b"), F.col("fp").alias("fp_b"))
