@@ -190,6 +190,57 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Mega-bucket-safe LSH output: per (band, band_hash) bucket emit
+    STAR edges (bucket_min_doc -> doc) instead of all pairs.
+
+    A bucket holding B copies of a boilerplate document emits B-1
+    edges here versus B^2/2 pairs from ``lsh_candidate_pairs`` — at
+    web scale B can be 10^6+, so the pairwise form is a 10^12-row
+    task while this stays linear.  Stars preserve exactly the
+    connectivity LSH asserts, so feeding them to
+    ``connected_components`` recovers the same duplicate clusters as
+    the pairwise form would.  Physical shape: map-side-combinable
+    (min, count) agg per bucket, then one equi-join back on the
+    bucket key — no window over the bucket, so a mega-bucket
+    partial-aggregates instead of hot-spotting one task.
+    Returns (a, b, bucket_size) with a = the bucket's min doc, a < b;
+    ``bucket_size`` surfaces the mega-buckets a capped pairwise run
+    would silently explode on."""
+    bands = minhash_bands(df, text_col, id_col, **kw)
+    hubs = bands.groupBy("band", "band_hash").agg(
+        F.min(id_col).alias("_hub"), F.count("*").alias("bucket_size")
+    )
+    return (
+        bands.join(hubs, ["band", "band_hash"])
+        .where(F.col(id_col) > F.col("_hub"))
+        .groupBy(F.col("_hub").alias("a"), F.col(id_col).alias("b"))
+        .agg(F.max("bucket_size").alias("bucket_size"))
+    )
+
+
+def lsh_dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+    **kw,
+) -> DataFrame:
+    """End-to-end scalable LSH dedup: star edges (linear in bucket
+    size) -> connected components -> (doc, cluster) with the cluster
+    label = min doc id in the component.  Docs sharing no bucket with
+    anyone are absent (singletons keep themselves by definition)."""
+    edges = lsh_star_edges(df, text_col, id_col, **kw).select("a", "b")
+    return connected_components(edges, "a", "b", max_iter=max_iter).select(
+        F.col("node").alias(id_col), F.col("comp").alias("cluster")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -215,24 +266,48 @@ def jaccard_pairs(
     )
 
 
+SIMHASH_SALT = "#w1"  # second md5 word for fingerprints wider than 32 bits
+
+
+def _token_hexes(col: Column, bits: int) -> Column:
+    """Per-token hex string holding one nibble per fingerprint bit.
+
+    md5 yields 32 hex nibbles; fingerprints wider than 32 bits
+    concatenate a second, salted md5 (``md5(tok || '#w1')``) so bit j
+    reads nibble j of a 64-nibble string.  Both engines (Spark and the
+    DuckDB oracle) state the identical expression."""
+    if bits <= 32:
+        return F.substring(F.md5(col), 1, bits)
+    if bits > 64:
+        raise ValueError(f"simhash supports at most 64 bits, got {bits}")
+    return F.concat(
+        F.md5(col), F.substring(F.md5(F.concat(col, F.lit(SIMHASH_SALT))), 1, bits - 32)
+    )
+
+
 def simhash(col: Column, bits: int = 16) -> Column:
     """SimHash over whitespace tokens: bit j of the fingerprint is the
     sign of sum over tokens of (+1 / -1).
 
     Token bit j is defined as the high bit of md5 hex nibble j
     (nibble >= '8'), which any md5-equipped engine reproduces — the
-    DuckDB oracle states the identical expression.  ``bits`` defaults
-    to 16 to bound codegen'd expression size; each bit is an integer
-    aggregate over the token array, order-independent and exact."""
+    DuckDB oracle states the identical expression.  Single-bigint form
+    (bits <= 63); for the production 64-bit fingerprint use
+    ``simhash_table_wide``, which chunks the bits across columns to
+    bound codegen'd expression size."""
     tokens = F.split(normalize_text(col), " ")
-    hexes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, bits))
+    hexes = F.transform(tokens, lambda t: _token_hexes(t, bits))
     return _simhash_bits(hexes, bits)
 
 
-def _simhash_bits(hexes: Column, bits: int) -> Column:
-    """Fingerprint from a per-token md5-hex array column."""
+def _simhash_bits(hexes: Column, bits: int, offset: int = 0) -> Column:
+    """Fingerprint of bits [offset, offset + bits) from a per-token
+    hex array column, weighted 2^(j - offset)."""
     out = F.lit(0).cast("bigint")
-    for j in range(bits):
+    for j in range(offset, offset + bits):
+        # NB: the merge callable must stay exactly binary (acc, h) for
+        # pyspark's lambda-variable mapping; ``j`` is safe to close over
+        # because F.aggregate consumes the lambda within this iteration.
         bit_sum = F.aggregate(
             hexes,
             F.lit(0),
@@ -244,7 +319,9 @@ def _simhash_bits(hexes: Column, bits: int) -> Column:
                 1,
             ).otherwise(-1),
         )
-        out = out + F.when(bit_sum > 0, F.lit(2**j).cast("bigint")).otherwise(0)
+        out = out + F.when(
+            bit_sum > 0, F.lit(2 ** (j - offset)).cast("bigint")
+        ).otherwise(0)
     return out
 
 
@@ -263,12 +340,105 @@ def simhash_table(
     tokens = F.split(normalize_text(F.col(text_col)), " ")
     hx = df.select(
         F.col(id_col),
-        F.transform(
-            tokens, lambda t: F.substring(F.md5(t), 1, bits)
-        ).alias("_hexes"),
+        F.transform(tokens, lambda t: _token_hexes(t, bits)).alias("_hexes"),
     )
     return hx.select(
         id_col, _simhash_bits(F.col("_hexes"), bits).alias("fingerprint")
+    )
+
+
+def simhash_table_wide(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    chunk_bits: int = 16,
+) -> DataFrame:
+    """Production-width SimHash: (id, fp0..fpN) where fpC holds bits
+    [C*chunk_bits, (C+1)*chunk_bits) of a ``bits``-wide fingerprint.
+
+    16-bit fingerprints collide by birthday at ~300 docs; 64 bits is
+    the production width (Manku et al., WWW'07).  Emitting the bits as
+    chunked bigint columns (a) keeps each codegen'd projection bounded
+    and (b) IS the Hamming-join blocking key: any pair within Hamming
+    distance d differs in at most d chunks, so with d < n_chunks at
+    least one chunk matches exactly (pigeonhole) — ``simhash_pairs_64``
+    unions one equi-join per chunk for full recall at distance <= 3.
+    The token-hex array is projected once; each chunk's per-bit
+    aggregates read their own nibble range."""
+    if bits % chunk_bits:
+        raise ValueError(f"bits={bits} not divisible by chunk_bits={chunk_bits}")
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    hx = df.select(
+        F.col(id_col),
+        F.transform(tokens, lambda t: _token_hexes(t, bits)).alias("_hexes"),
+    )
+    return hx.select(
+        id_col,
+        *[
+            _simhash_bits(F.col("_hexes"), chunk_bits, offset=c * chunk_bits).alias(
+                f"fp{c}"
+            )
+            for c in range(bits // chunk_bits)
+        ],
+    )
+
+
+def simhash_hamming_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    n_chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (a, b, hamming) from a chunked fingerprint table
+    (the output of ``simhash_table_wide``): one equi-join per chunk on
+    (chunk_idx, chunk_value), unioned via a 2-cell explode, then exact
+    Hamming verify.  Pigeonhole guarantees FULL recall whenever
+    ``max_hamming < n_chunks`` (<= 3 differing bits across 4 chunks
+    leave >= 1 chunk identical).  Every join is a hash join; shuffle
+    is n_chunks x n rows, never n^2."""
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_chunks > max_hamming for "
+            f"pigeonhole recall (got {n_chunks})"
+        )
+    chunks = [f"fp{c}" for c in range(n_chunks)]
+    keyed = fp.select(
+        F.col(id_col),
+        *chunks,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ck"), F.col(f"fp{c}").alias("cv")
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("_kc"),
+    ).select(id_col, *chunks, "_kc.ck", "_kc.cv")
+    a = keyed.select(
+        F.col(id_col).alias("a"),
+        *[F.col(c).alias(f"a_{c}") for c in chunks],
+        "ck",
+        "cv",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("b"),
+        *[F.col(c).alias(f"b_{c}") for c in chunks],
+        "ck",
+        "cv",
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        for c in chunks
+    ).cast("bigint")
+    return (
+        a.join(b, ["ck", "cv"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

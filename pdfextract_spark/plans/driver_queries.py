@@ -332,7 +332,7 @@ def a2_islands_sessionize(spark, sf_dir):
            count(*) AS n_intervals,
            strftime(min(lo), '%Y-%m-%d') AS mask_min,
            strftime(max(hi), '%Y-%m-%d') AS mask_max,
-           sum(date_diff('day', lo, hi)) AS covered_days,
+           sum(date_diff('day', lo, hi))::BIGINT AS covered_days,
            max(date_diff('day', lo, hi)) AS widest_days
     FROM merged GROUP BY l_suppkey
     """,
@@ -549,7 +549,7 @@ def w6_keep_group_max(spark, sf_dir):
     i AS (
       SELECT user_id, event_id,
              sum(is_d) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS segment
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS segment
       FROM g
     )
     SELECT user_id, segment, count(*) AS n, min(event_id) AS first_event
@@ -776,28 +776,50 @@ def dedup_minhash_bands(spark, sf_dir):
     return dedup.minhash_bands(docs, num_hashes=16, band_size=4, k=3)
 
 
-@q(
-    "dedup_simhash",
-    f"""
-    WITH t AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens FROM documents
-    )
-    SELECT doc_id,
+# 64-bit SimHash oracle pieces: per-token hex = md5(tok) || md5(tok#w1)
+# (64 nibbles = 64 bits); chunk c is bits [16c, 16c+16) as a bigint.
+_SIMHASH_HX_SQL = (
+    "[md5(tok) || md5(tok || '#w1') for tok in string_split("
+    + _NORM_SQL
+    + ", ' ')]"
+)
+
+
+def _simhash_chunk_sql(c: int, chunk_bits: int = 16) -> str:
+    lo = c * chunk_bits
+    return f"""
            (SELECT sum(
-              CASE WHEN list_sum([CASE WHEN substring(md5(tok), j + 1, 1)
+              CASE WHEN list_sum([CASE WHEN substring(h, j + 1, 1)
                                             IN ('8','9','a','b','c','d','e','f')
                                        THEN 1 ELSE -1 END
-                                  for tok in tokens]) > 0
-                   THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
-            FROM generate_series(0, 15) AS g(j)) AS fingerprint
-    FROM t
-    """,
+                                  for h in hx]) > 0
+                   THEN CAST(pow(2, j - {lo}) AS BIGINT) ELSE 0 END)
+            FROM generate_series({lo}, {lo + chunk_bits - 1}) AS g(j)
+           )::BIGINT AS fp{c}"""
+
+
+_SIMHASH_SH_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_SIMHASH_HX_SQL} AS hx FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             {",".join(_simhash_chunk_sql(c) for c in range(4))}
+      FROM t
+    )"""
+
+
+@q(
+    "dedup_simhash",
+    _SIMHASH_SH_SQL + "\n    SELECT doc_id, fp0, fp1, fp2, fp3 FROM sh",
 )
 def dedup_simhash(spark, sf_dir):
-    """SimHash(16) fingerprint per doc — md5-nibble bit definition is
-    engine-portable; near-dups differ in few bits (Hamming join)."""
+    """SimHash(64) fingerprint per doc as 4 x 16-bit chunk columns —
+    production width (16 bits birthday-collides at ~300 docs); the
+    md5-nibble bit definition stays engine-portable and the chunks
+    double as the Hamming-join blocking keys (see dedup_simhash_pairs)."""
     docs = _spread(spark, load_table(spark, sf_dir, "documents"))
-    return dedup.simhash_table(docs, bits=16)
+    return dedup.simhash_table_wide(docs, bits=64, chunk_bits=16)
 
 
 @q(
@@ -823,7 +845,15 @@ def dedup_simhash(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """3-gram Jaccard similarity over blocked pairs (same lang, id
     window) — the exact-verify stage that follows LSH candidate
-    generation.  array_intersect/union stay JVM-side."""
+    generation.  The id-window block is made an EQUI-join key via the
+    rangejoin grid pattern: docs live in cells floor(id/25); for a
+    pair a < b with b - a <= 25 the cells satisfy cell(a) in
+    {cell(b), cell(b) - 1}, so exploding only the RIGHT side to its
+    2 cells and hash-joining on (lang, cell) finds every pair exactly
+    once (the two exploded cells are distinct, so no dedupe shuffle
+    is needed).  Previously the only equi-key was lang — a
+    near-cartesian Σ n_lang² comparison at scale.
+    array_intersect/union stay JVM-side."""
     docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
@@ -831,16 +861,24 @@ def dedup_ngram_jaccard(spark, sf_dir):
         F.array_distinct(dedup.word_shingles(F.col("text"), 3)).alias("s"),
     ).where(F.size(F.split(dedup.normalize_text(F.col("text")), " ")) >= 3)
     a = sh.select(
-        F.col("doc_id").alias("a"), F.col("lang").alias("lang_a"), F.col("s").alias("s_a")
+        F.col("doc_id").alias("a"),
+        F.col("lang").alias("lang"),
+        F.col("s").alias("s_a"),
+        F.floor(F.col("doc_id") / 25).alias("cell"),
     )
     b = sh.select(
-        F.col("doc_id").alias("b"), F.col("lang").alias("lang_b"), F.col("s").alias("s_b")
+        F.col("doc_id").alias("b"),
+        F.col("lang").alias("lang"),
+        F.col("s").alias("s_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col("doc_id") / 25),
+                F.floor(F.col("doc_id") / 25) - 1,
+            )
+        ).alias("cell"),
     )
-    pairs = a.join(
-        b,
-        (F.col("lang_a") == F.col("lang_b"))
-        & (F.col("a") < F.col("b"))
-        & (F.col("b") - F.col("a") <= 25),
+    pairs = a.join(b, ["lang", "cell"]).where(
+        (F.col("a") < F.col("b")) & (F.col("b") - F.col("a") <= 25)
     )
     inter = F.size(F.array_intersect("s_a", "s_b")).cast("double")
     union = F.size(F.array_union("s_a", "s_b")).cast("double")
@@ -1174,7 +1212,7 @@ def w3_ordered_rank(spark, sf_dir):
     )
     SELECT doc_id,
            count(*) AS n_segments,
-           sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_boilerplate
+           sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)::BIGINT AS n_boilerplate
     FROM flagged GROUP BY doc_id
     """,
 )
@@ -1182,10 +1220,13 @@ def boilerplate_strip(spark, sf_dir):
     """Main-content extraction over plain text (north_rule 'HTML
     boilerplate strip' analog): a segment is boilerplate when it
     repeats across >= 30% of its source's documents — the line-frequency
-    rule used by web-corpus content extractors.  Shape: explode ->
-    (source, seg) frequency agg -> broadcast-join back.  The frequency
-    side aggregates to |distinct segments| << corpus size, so the join
-    back is broadcast-eligible at scale."""
+    rule used by web-corpus content extractors.  Scale shape: explode ->
+    (source, seg) frequency agg, REDUCED to boilerplate-only rows
+    BEFORE the join back.  Distinct segments grow ~linearly with the
+    corpus (most segments are unique) so broadcasting the full
+    frequency table OOMs at 100 TB; segments repeated across >= 30% of
+    a source's docs are a genuinely tiny set, and a left join with
+    null -> not-boilerplate gives identical values."""
     docs = load_table(spark, sf_dir, "documents")
     segs = docs.select(
         "doc_id",
@@ -1196,21 +1237,20 @@ def boilerplate_strip(spark, sf_dir):
         "source",
         F.trim(F.regexp_replace(F.lower("raw_seg"), r"\s+", " ")).alias("seg"),
     ).where(F.col("seg") != "")
-    freq = segs.groupBy("source", "seg").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
     totals = docs.groupBy("source").agg(F.count("*").alias("total"))
-    flagged = segs.join(F.broadcast(freq), ["source", "seg"]).join(
-        F.broadcast(totals), "source"
-    ).select(
-        "doc_id",
-        ((F.col("n_docs") * 1.0 / F.col("total")) >= 0.3).alias("is_boiler"),
+    boiler = (
+        segs.groupBy("source", "seg")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .join(F.broadcast(totals), "source")
+        .where((F.col("n_docs") * 1.0 / F.col("total")) >= 0.3)
+        .select("source", "seg", F.lit(True).alias("is_boiler"))
     )
+    flagged = segs.join(F.broadcast(boiler), ["source", "seg"], "left")
     return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_segments"),
-        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias(
-            "n_boilerplate"
-        ),
+        F.sum(
+            F.when(F.coalesce(F.col("is_boiler"), F.lit(False)), 1).otherwise(0)
+        ).alias("n_boilerplate"),
     )
 
 
@@ -1257,48 +1297,29 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 @q(
     "dedup_simhash_pairs",
-    f"""
-    WITH t AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens FROM documents
-    ),
-    sh AS (
-      SELECT doc_id,
-             (SELECT sum(
-                CASE WHEN list_sum([CASE WHEN substring(md5(tok), j + 1, 1)
-                                              IN ('8','9','a','b','c','d','e','f')
-                                         THEN 1 ELSE -1 END
-                                    for tok in tokens]) > 0
-                     THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
-              FROM generate_series(0, 15) AS g(j)) AS fp
-      FROM t
-    )
+    _SIMHASH_SH_SQL
+    + """
     SELECT a.doc_id AS a, b.doc_id AS b,
-           bit_count(xor(a.fp, b.fp)) AS hamming
+           (bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1)) +
+            bit_count(xor(a.fp2, b.fp2)) + bit_count(xor(a.fp3, b.fp3))
+           )::BIGINT AS hamming
     FROM sh a JOIN sh b
-      ON (a.fp // 256) = (b.fp // 256) AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      ON a.doc_id < b.doc_id
+     AND (a.fp0 = b.fp0 OR a.fp1 = b.fp1 OR a.fp2 = b.fp2 OR a.fp3 = b.fp3)
+    WHERE bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1)) +
+          bit_count(xor(a.fp2, b.fp2)) + bit_count(xor(a.fp3, b.fp3)) <= 3
     """,
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: block on the fingerprint's high byte
-    (any <=3-bit-different pair whose differing bits are all in the low
-    byte collides; a production pipeline unions several byte-rotations
-    for full recall), then verify by exact Hamming distance."""
+    """SimHash(64) near-dup pairs by chunked-fingerprint blocking
+    (Manku et al., WWW'07): a pair within Hamming distance 3 of a
+    4-chunk fingerprint must agree exactly on >= 1 chunk (pigeonhole),
+    so the union of 4 equi-joins on (chunk_idx, chunk_value) has FULL
+    recall — unlike the old high-byte heuristic — and every join stays
+    a hash join (the oracle states the same blocking as an OR)."""
     docs = _spread(spark, load_table(spark, sf_dir, "documents"))
-    fp = dedup.simhash_table(docs, bits=16).select(
-        "doc_id", F.col("fingerprint").alias("fp")
-    )
-    a = fp.select(F.col("doc_id").alias("a"), F.col("fp").alias("fp_a"))
-    b = fp.select(F.col("doc_id").alias("b"), F.col("fp").alias("fp_b"))
-    pairs = a.join(
-        b,
-        (F.floor(F.col("fp_a") / 256) == F.floor(F.col("fp_b") / 256))
-        & (F.col("a") < F.col("b")),
-    )
-    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return pairs.where(ham <= 3).select(
-        "a", "b", ham.cast("bigint").alias("hamming")
-    )
+    fp = dedup.simhash_table_wide(docs, bits=64, chunk_bits=16)
+    return dedup.simhash_hamming_pairs(fp, n_chunks=4, max_hamming=3)
 
 
 @q("pipeline_sections", _golden("pipeline_sections"))
@@ -1350,7 +1371,8 @@ def pipeline_zones(spark, sf_dir):
     ),
     isl AS (
       SELECT *, sum(flag) OVER (PARTITION BY page ORDER BY rn
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS island
       FROM flagged
     )
     SELECT page, island, count(*) AS members,
@@ -1698,7 +1720,7 @@ def ann_cosine_topk_ivf(spark, sf_dir):
       FROM lineitem
     )
     SELECT a.page AS page, count(*) AS n_pairs,
-           sum(least(a_hi, b_hi) - greatest(a_lo, b_lo)) AS sum_overlap
+           sum(least(a_hi, b_hi) - greatest(a_lo, b_lo))::BIGINT AS sum_overlap
     FROM a JOIN b ON a.page = b.page AND a_lo <= b_hi AND b_lo <= a_hi
     GROUP BY a.page
     """,

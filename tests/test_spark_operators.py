@@ -950,3 +950,102 @@ def test_minhash_signature_and_fingerprint_columns(spark):
         for i in range(len(norm) - 7)
     )
     assert fp == mins
+
+
+def test_simhash_wide_matches_narrow_chunks(spark):
+    """simhash_table_wide's chunk columns reassemble to the same bits
+    the single-bigint form computes (shared bit definition)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three")],
+        "doc_id bigint, text string",
+    )
+    wide = {
+        r["doc_id"]: (r["fp0"], r["fp1"], r["fp2"], r["fp3"])
+        for r in dedup.simhash_table_wide(df, bits=64, chunk_bits=16).collect()
+    }
+    lo32 = {
+        r["doc_id"]: r["fingerprint"]
+        for r in dedup.simhash_table(df, bits=32).collect()
+    }
+    for d, (f0, f1, _f2, _f3) in wide.items():
+        assert f0 + (f1 << 16) == lo32[d]
+        for f in wide[d]:
+            assert 0 <= f < 2**16
+
+
+def test_simhash_hamming_pairs_full_recall(spark):
+    """Pigeonhole blocking finds EVERY pair within Hamming 3 of the
+    64-bit fingerprint — including planted near-dups — and an exact
+    all-pairs recomputation confirms nothing was missed."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(1, base * 3), (2, base * 3 + "extra"), (3, "zzz qqq " * 20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fp = dedup.simhash_table_wide(df, bits=64, chunk_bits=16)
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_hamming_pairs(fp, n_chunks=4, max_hamming=3).collect()
+    }
+    by_id = {
+        r["doc_id"]: (r["fp0"], r["fp1"], r["fp2"], r["fp3"])
+        for r in fp.collect()
+    }
+
+    def ham(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
+
+    want = {
+        (a, b): ham(by_id[a], by_id[b])
+        for a in by_id
+        for b in by_id
+        if a < b and ham(by_id[a], by_id[b]) <= 3
+    }
+    assert got == want
+    assert (1, 2) in got  # the planted near-dup survives at 64 bits
+
+
+def test_lsh_star_edges_linear_in_mega_bucket(spark):
+    """A 10^4-duplicate bucket emits B-1 star edges, not B^2/2 pairs —
+    the mega-bucket guard that keeps web-scale boilerplate from
+    exploding the candidate stage; connected_components over the stars
+    recovers the single duplicate cluster."""
+    n = 10_000
+    text = "identical boilerplate navigation footer text repeated everywhere"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id bigint, text string"
+    )
+    edges = dedup.lsh_star_edges(df, num_hashes=16, band_size=4, k=3)
+    rows = edges.collect()
+    assert len(rows) == n - 1  # linear, with hub = min doc id
+    assert {r["a"] for r in rows} == {0}
+    assert all(r["bucket_size"] == n for r in rows)
+    comp = dedup.connected_components(
+        edges.select("a", "b"), "a", "b"
+    ).collect()
+    assert {r["comp"] for r in comp} == {0}
+    assert len(comp) == n
+
+
+def test_lsh_star_edges_same_clusters_as_pairs(spark):
+    """On a normal corpus the star-edge graph yields the same connected
+    components as the pairwise candidate graph (stars preserve exactly
+    LSH's asserted connectivity)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base.replace("today", "tomorrow")),
+        (3, "completely unrelated content about database engines and plans"),
+        (4, base),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kw = dict(num_hashes=16, band_size=4, k=3)
+    pair_comp = {
+        (r["node"], r["comp"])
+        for r in dedup.connected_components(
+            dedup.lsh_candidate_pairs(df, **kw), "a", "b"
+        ).collect()
+    }
+    star_comp = {
+        (r["doc_id"], r["cluster"])
+        for r in dedup.lsh_dedup_clusters(df, **kw).collect()
+    }
+    assert pair_comp == star_comp
