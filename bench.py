@@ -69,6 +69,21 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
 ]
 
+# Round-3 manifest extension: the round-2 operators the pinned 18-query
+# suite predated.  Kept as a SEPARATE list so the original manifest
+# still compares round-over-round query-by-query; each of these also
+# gets a DuckDB denominator (its own oracle on the same parquet) in
+# the "duckdb_sec" record.
+BENCH_QUERIES_R3 = [
+    "j6_asof_join",
+    "dedup_paragraph_exact",
+    "dedup_duplicate_clusters",
+    "hypertable_rollup",
+    "sketch_count_min",
+    "a12_kmeans_centers",
+    "a13_svm_reference_score",
+]
+
 
 def run_extraction(spark, sf_dir: str, turns_per_doc: int):
     """Flagship: synth transcripts -> full extraction -> noop sink.
@@ -149,7 +164,7 @@ def main() -> None:
         # be dominated by a noise burst; the minimum is a noise-robust
         # estimator for these independent per-query timings (scaling
         # RATIOS use time-paired rounds instead — tools/scaling.py)
-        for name in BENCH_QUERIES:
+        for name in BENCH_QUERIES + BENCH_QUERIES_R3:
             best = None
             for _ in range(MIN_OF_N):
                 t0 = time.time()
@@ -172,21 +187,34 @@ def main() -> None:
         from pdfextract_spark.plans.driver_queries import ORACLES
 
         con = duckdb.connect()
-        for tname in ("orders", "lineitem"):
+        for tname in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
             con.sql(
                 f"CREATE VIEW {tname} AS SELECT * FROM "
                 f"'{sf_dir}/{tname}.parquet'"
             )
-        best_d = None
-        for _ in range(MIN_OF_N):
-            t0 = time.time()
-            con.sql(ORACLES["j1_interval_join"]).fetchall()
-            dt = time.time() - t0
-            best_d = dt if best_d is None else min(best_d, dt)
+
+        def duck_min(name: str) -> float:
+            best_d = None
+            for _ in range(MIN_OF_N):
+                t0 = time.time()
+                con.sql(ORACLES[name]).fetchall()
+                dt = time.time() - t0
+                best_d = dt if best_d is None else min(best_d, dt)
+            return best_d
+
+        best_d = duck_min("j1_interval_join")
         extras["j1_duckdb_sec"] = round(best_d, 3)
         extras["j1_spark_over_duckdb"] = round(
             queries["j1_interval_join"] / best_d, 2
         )
+        # per-query DuckDB denominators for the round-3 additions (all
+        # plain-SQL oracles on the same parquet, min of the same N)
+        extras["duckdb_sec"] = {
+            name: round(duck_min(name), 3) for name in BENCH_QUERIES_R3
+        }
     out = {
         "metric": "headline suite wall time (extraction + operators)",
         "value": total,

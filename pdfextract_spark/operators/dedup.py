@@ -587,6 +587,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("neigh_comp"))
         )
+        # the changed flag rides along in the SAME projection (a label
+        # only ever decreases, so changed == some neighbor min beat it)
+        # — checking convergence off the checkpoint costs a cheap scan
+        # instead of the former extra join against the old labels
         new_labels = (
             labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
             .select(
@@ -594,22 +598,21 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("neigh_comp", F.col("comp"))
                 ).alias("comp"),
+                (F.coalesce("neigh_comp", F.col("comp")) < F.col("comp")).alias(
+                    "_changed"
+                ),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        ckpt = new_labels.localCheckpoint(eager=True)
+        changed = ckpt.where("_changed").limit(1).count()
         # the superseded round's checkpoint is dead once labels moves
         # on — release its storage instead of retaining max_iter copies
+        # (unpersist must target the checkpointed frame itself, so the
+        # _changed drop happens on a projection of it)
         if prev is not None:
             prev.unpersist()
-        prev = labels
-        labels = new_labels
+        prev = ckpt
+        labels = ckpt.drop("_changed")
         if changed == 0:
             converged = True
             break

@@ -72,27 +72,24 @@ def kmeans(
     centers = [dict(c) for c in init]
 
     def assign(centers_now: list[dict]) -> DataFrame:
-        cdf = df.sparkSession.createDataFrame(
-            [
-                tuple([cid] + [float(c[key]) for key in keys])
-                for cid, c in enumerate(centers_now)
-            ],
-            ["cid"] + [f"_c_{key}" for key in keys],
-        )
-        dist = None
-        for key in keys:
-            d = F.col(key) - F.col(f"_c_{key}")
-            dist = d * d if dist is None else dist + d * d
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_dist").asc(), F.col("cid").asc()
-        )
-        return (
-            df.crossJoin(F.broadcast(cdf))
-            .withColumn("_dist", dist)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_dist", *[f"_c_{key}" for key in keys])
-        )
+        # Shuffle-FREE argmin: the k centers are driver-side constants,
+        # so the distance to each is a literal expression — build the
+        # k-element distance array in the scan projection and take
+        # array_position(array_min) (first occurrence = lowest cid,
+        # the reference's first-minimum tie-break, kmeans.rb:68-79).
+        # The former crossJoin(broadcast)+row_number shape shuffled
+        # n*k rows through a window per iteration; this stays entirely
+        # in whole-stage codegen with zero Exchange.
+        def dist_to(c: dict):
+            dist = None
+            for key in keys:
+                d = F.col(key) - F.lit(float(c[key]))
+                dist = d * d if dist is None else dist + d * d
+            return dist
+
+        darr = F.array(*[dist_to(c) for c in centers_now])
+        cid = (F.array_position(darr, F.array_min(darr)) - 1).cast("bigint")
+        return df.withColumn("cid", cid)
 
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")

@@ -23,8 +23,16 @@ from pyspark.sql import functions as F
 
 
 def _bucket(col: Column, d: int, width: int) -> Column:
+    # two independent 12-hex chunks per md5 (md5 output bits are
+    # independent), so depth-4 hashing costs 2 md5 calls per item, not
+    # 4; the shared md5(x#0)/md5(x#1) subtrees sit in ONE projection,
+    # where Catalyst CSE does eliminate them (unlike across aggregates)
     h = F.conv(
-        F.substring(F.md5(F.concat(col.cast("string"), F.lit(f"#{d}"))), 1, 12),
+        F.substring(
+            F.md5(F.concat(col.cast("string"), F.lit(f"#{d // 2}"))),
+            (d % 2) * 12 + 1,
+            12,
+        ),
         16,
         10,
     ).cast("bigint")

@@ -1870,7 +1870,8 @@ def p4_p6_section_flags(spark, sf_dir):
     seg AS (
       SELECT doc, line_id,
              sum(is_delim) OVER (PARTITION BY doc ORDER BY line_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS segment
       FROM flagged
     )
     SELECT doc, segment, count(*) AS n_lines,
@@ -2316,7 +2317,7 @@ def sample_stratified_hash(spark, sf_dir):
     g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
     pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
     agg AS (
-      SELECT doc_id, sum(c) AS n_grams, max(c) AS top_gram_count,
+      SELECT doc_id, sum(c)::BIGINT AS n_grams, max(c) AS top_gram_count,
              round(max(c) * 1.0 / sum(c), 6) AS repetition
       FROM pg GROUP BY doc_id
     )
@@ -2991,7 +2992,7 @@ def j6_asof_join(spark, sf_dir):
     SELECT event_type, day_ms, hour_ms,
            grouping(day_ms)::INT AS g_day,
            grouping(hour_ms)::INT AS g_hour,
-           count(*) AS n, sum(cents) AS cents
+           count(*) AS n, sum(cents)::BIGINT AS cents
     FROM e
     GROUP BY event_type, ROLLUP(day_ms, hour_ms)
     """,
@@ -3040,7 +3041,8 @@ def hypertable_rollup(spark, sf_dir):
     terms AS (SELECT term FROM w WHERE term <> ''),
     cells AS (
       SELECT d.d AS depth,
-             ('0x' || substring(md5(term || '#' || d.d), 1, 12))::BIGINT
+             ('0x' || substring(md5(term || '#' || (d.d // 2)),
+                                (d.d % 2) * 12 + 1, 12))::BIGINT
                % 256 AS bucket
       FROM terms, (SELECT unnest(generate_series(0, 3)) AS d) d
     ),
@@ -3050,7 +3052,8 @@ def hypertable_rollup(spark, sf_dir):
     ),
     probes AS (
       SELECT q.term, d.d AS depth,
-             ('0x' || substring(md5(q.term || '#' || d.d), 1, 12))::BIGINT
+             ('0x' || substring(md5(q.term || '#' || (d.d // 2)),
+                                (d.d % 2) * 12 + 1, 12))::BIGINT
                % 256 AS bucket
       FROM (SELECT unnest(['the','of','data','zyzzyva_absent']) AS term) q,
            (SELECT unnest(generate_series(0, 3)) AS d) d
