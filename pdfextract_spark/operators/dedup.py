@@ -292,9 +292,14 @@ def simhash(col: Column, bits: int = 16) -> Column:
     Token bit j is defined as the high bit of md5 hex nibble j
     (nibble >= '8'), which any md5-equipped engine reproduces — the
     DuckDB oracle states the identical expression.  Single-bigint form
-    (bits <= 63); for the production 64-bit fingerprint use
+    (bits <= 32); for the production 64-bit fingerprint use
     ``simhash_table_wide``, which chunks the bits across columns to
-    bound codegen'd expression size."""
+    bound both codegen'd expression size and the 2^j weight literals."""
+    if bits > 32:
+        raise ValueError(
+            f"simhash single-bigint form supports <= 32 bits (got {bits}); "
+            f"use simhash_table_wide for wider fingerprints"
+        )
     tokens = F.split(normalize_text(col), " ")
     hexes = F.transform(tokens, lambda t: _token_hexes(t, bits))
     return _simhash_bits(hexes, bits)
@@ -336,7 +341,13 @@ def simhash_table(
     embeds the token-hash subtree in every bit aggregate and Catalyst
     does not eliminate it across them (~3.5x slower measured at
     sf0.1); naming the array in its own projection hashes each token
-    exactly once.  Same values, same oracle."""
+    exactly once.  Same values, same oracle.  Single-bigint form
+    (bits <= 32) — ``simhash_table_wide`` is the production-width path."""
+    if bits > 32:
+        raise ValueError(
+            f"simhash_table single-bigint form supports <= 32 bits "
+            f"(got {bits}); use simhash_table_wide"
+        )
     tokens = F.split(normalize_text(F.col(text_col)), " ")
     hx = df.select(
         F.col(id_col),

@@ -7,9 +7,10 @@ clusters, stop at max centre delta <= ``delta``).  It is dead code
 there — never called from any ``after`` block — but re-expressed here
 as a first-class distributed operator so the inventory row is closed:
 
-- items stay a DataFrame; each iteration is one broadcast of the k
-  centers, a JVM-side argmin assignment (crossJoin with a k-row
-  broadcast + row_number window — no Python in the loop), and a
+- items stay a DataFrame; each iteration is a shuffle-FREE argmin
+  assignment (the k centers are driver-side constants, so the
+  distance array + array_position(array_min) is a pure codegen
+  projection — no crossJoin, no window, no Exchange) followed by one
   map-side-combinable groupBy mean.  Only the k centre rows ever reach
   the driver per iteration (the same driver-sized state MLlib's
   KMeans keeps).

@@ -1885,8 +1885,11 @@ def f12_margin_split(spark, sf_dir):
     parts — A10 second-most-frequent floor(x_offset) per doc picks the
     delimiter offset, T1 partition_at splits the line sequence at each
     delimiter line, T2 drop_while removes lines before the first
-    delimiter (segment 0).  The delimiter table is doc-keyed and tiny
-    -> broadcast back onto the big side; islands need one shuffle."""
+    delimiter (segment 0).  The delimiter table is doc-keyed — one row
+    per doc, so it GROWS with the corpus and must not broadcast; the
+    shuffle equi-join on doc co-partitions with the islands window
+    that follows (same key), so the exchange is reused, and AQE may
+    still pick a broadcast at small scale on its own."""
     events = load_table(spark, sf_dir, "events")
     lines = events.select(
         F.col("event_id").alias("line_id"),
@@ -1902,7 +1905,7 @@ def f12_margin_split(spark, sf_dir):
         )
         .select("doc", F.col("delimiter").alias("delim_x"))
     )
-    flagged = lines.join(F.broadcast(delim), "doc", "left").select(
+    flagged = lines.join(delim, "doc", "left").select(
         "doc",
         "line_id",
         (
