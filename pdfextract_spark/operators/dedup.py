@@ -266,23 +266,23 @@ def jaccard_pairs(
     )
 
 
-SIMHASH_SALT = "#w1"  # second md5 word for fingerprints wider than 32 bits
+# Token bit j reads nibble (j % 32) of ONE md5 per token: bits 0-31
+# test the nibble's high bit (value 8), bits 32-63 its second bit
+# (value 4) — md5 bits are independent, so one hash serves 64
+# fingerprint bits at half the hashing cost of a second salted md5.
+# Expressed as nibble IN (set) so any md5-equipped engine (the DuckDB
+# oracle) states the identical predicate.
+_NIBBLE_SETS = (
+    ("8", "9", "a", "b", "c", "d", "e", "f"),  # bit value 8 (j // 32 == 0)
+    ("4", "5", "6", "7", "c", "d", "e", "f"),  # bit value 4 (j // 32 == 1)
+)
 
 
 def _token_hexes(col: Column, bits: int) -> Column:
-    """Per-token hex string holding one nibble per fingerprint bit.
-
-    md5 yields 32 hex nibbles; fingerprints wider than 32 bits
-    concatenate a second, salted md5 (``md5(tok || '#w1')``) so bit j
-    reads nibble j of a 64-nibble string.  Both engines (Spark and the
-    DuckDB oracle) state the identical expression."""
-    if bits <= 32:
-        return F.substring(F.md5(col), 1, bits)
+    """Per-token md5 hex (32 nibbles serve up to 64 bits, 2 per nibble)."""
     if bits > 64:
         raise ValueError(f"simhash supports at most 64 bits, got {bits}")
-    return F.concat(
-        F.md5(col), F.substring(F.md5(F.concat(col, F.lit(SIMHASH_SALT))), 1, bits - 32)
-    )
+    return F.md5(col)
 
 
 def simhash(col: Column, bits: int = 16) -> Column:
@@ -310,17 +310,18 @@ def _simhash_bits(hexes: Column, bits: int, offset: int = 0) -> Column:
     hex array column, weighted 2^(j - offset)."""
     out = F.lit(0).cast("bigint")
     for j in range(offset, offset + bits):
+        nibble_pos = (j % 32) + 1
+        nibble_set = _NIBBLE_SETS[j // 32]
         # NB: the merge callable must stay exactly binary (acc, h) for
-        # pyspark's lambda-variable mapping; ``j`` is safe to close over
-        # because F.aggregate consumes the lambda within this iteration.
+        # pyspark's lambda-variable mapping; the loop locals are safe to
+        # close over because F.aggregate consumes the lambda within
+        # this iteration.
         bit_sum = F.aggregate(
             hexes,
             F.lit(0),
             lambda acc, h: acc
             + F.when(
-                F.substring(h, j + 1, 1).isin(
-                    "8", "9", "a", "b", "c", "d", "e", "f"
-                ),
+                F.substring(h, nibble_pos, 1).isin(*nibble_set),
                 1,
             ).otherwise(-1),
         )
@@ -384,12 +385,38 @@ def simhash_table_wide(
         F.col(id_col),
         F.transform(tokens, lambda t: _token_hexes(t, bits)).alias("_hexes"),
     )
-    return hx.select(
+    # ONE pass over the token array builds all ``bits`` signed counts at
+    # once (zip_with accumulator), instead of ``bits`` separate
+    # aggregates each re-traversing the array — ~25% faster measured at
+    # sf0.1 on top of the single-md5 win, bit-identical values.
+    hi_set, lo_set = (
+        "(" + ",".join(f"'{c}'" for c in s) + ")" for s in _NIBBLE_SETS
+    )
+    counts = hx.select(
+        id_col,
+        F.expr(
+            f"""
+            aggregate(_hexes, array_repeat(0, {bits}),
+              (acc, h) -> zip_with(acc,
+                 transform(sequence(0, {bits - 1}),
+                           j -> CASE WHEN (CASE WHEN j < 32
+                                           THEN substring(h, j + 1, 1) IN {hi_set}
+                                           ELSE substring(h, j - 31, 1) IN {lo_set}
+                                           END)
+                                THEN 1 ELSE -1 END),
+                 (a, b) -> a + b))
+            """
+        ).alias("_counts"),
+    )
+    return counts.select(
         id_col,
         *[
-            _simhash_bits(F.col("_hexes"), chunk_bits, offset=c * chunk_bits).alias(
-                f"fp{c}"
-            )
+            F.expr(
+                f"aggregate(zip_with(slice(_counts, {c * chunk_bits + 1}, "
+                f"{chunk_bits}), sequence(0, {chunk_bits - 1}), "
+                f"(cnt, j) -> IF(cnt > 0, shiftleft(1L, cast(j AS INT)), 0L)), "
+                f"0L, (a, b) -> a + b)"
+            ).alias(f"fp{c}")
             for c in range(bits // chunk_bits)
         ],
     )
@@ -407,13 +434,21 @@ def simhash_hamming_pairs(
     Hamming verify.  Pigeonhole guarantees FULL recall whenever
     ``max_hamming < n_chunks`` (<= 3 differing bits across 4 chunks
     leave >= 1 chunk identical).  Every join is a hash join; shuffle
-    is n_chunks x n rows, never n^2."""
+    is n_chunks x n rows, never n^2.
+
+    The fingerprint input is materialized ONCE behind a lazy
+    localCheckpoint before the self-join: without the fence Catalyst's
+    CollapseProject inlines the fingerprint expressions into every
+    chunk reference on both join sides (~16 re-evaluations of the
+    whole bit pipeline — measured 13 s vs 0.9 s at sf0.1).  Batch-only
+    operator as a result (checkpointing needs a live SparkContext)."""
     if max_hamming >= n_chunks:
         raise ValueError(
             f"max_hamming={max_hamming} needs n_chunks > max_hamming for "
             f"pigeonhole recall (got {n_chunks})"
         )
     chunks = [f"fp{c}" for c in range(n_chunks)]
+    fp = fp.localCheckpoint(eager=False)
     keyed = fp.select(
         F.col(id_col),
         *chunks,

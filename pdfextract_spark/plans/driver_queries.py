@@ -776,21 +776,24 @@ def dedup_minhash_bands(spark, sf_dir):
     return dedup.minhash_bands(docs, num_hashes=16, band_size=4, k=3)
 
 
-# 64-bit SimHash oracle pieces: per-token hex = md5(tok) || md5(tok#w1)
-# (64 nibbles = 64 bits); chunk c is bits [16c, 16c+16) as a bigint.
-_SIMHASH_HX_SQL = (
-    "[md5(tok) || md5(tok || '#w1') for tok in string_split("
-    + _NORM_SQL
-    + ", ' ')]"
+# 64-bit SimHash oracle pieces: ONE md5 per token serves all 64 bits —
+# bit j reads nibble (j % 32): bits 0-31 its high bit (nibble >= 8),
+# bits 32-63 its second bit (value 4); chunk c is bits [16c, 16c+16).
+_SIMHASH_HX_SQL = "[md5(tok) for tok in string_split(" + _NORM_SQL + ", ' ')]"
+
+_SIMHASH_NIBBLE_SETS = (
+    "('8','9','a','b','c','d','e','f')",  # bit value 8 (j // 32 == 0)
+    "('4','5','6','7','c','d','e','f')",  # bit value 4 (j // 32 == 1)
 )
 
 
 def _simhash_chunk_sql(c: int, chunk_bits: int = 16) -> str:
     lo = c * chunk_bits
+    nibble_set = _SIMHASH_NIBBLE_SETS[lo // 32]
     return f"""
            (SELECT sum(
-              CASE WHEN list_sum([CASE WHEN substring(h, j + 1, 1)
-                                            IN ('8','9','a','b','c','d','e','f')
+              CASE WHEN list_sum([CASE WHEN substring(h, (j % 32) + 1, 1)
+                                            IN {nibble_set}
                                        THEN 1 ELSE -1 END
                                   for h in hx]) > 0
                    THEN CAST(pow(2, j - {lo}) AS BIGINT) ELSE 0 END)
