@@ -32,10 +32,23 @@ def ngram_contamination(
 
     Documents shorter than n words have zero shingles and report a
     0.0 hit rate (nothing to match on — the length-based filters in
-    quality.py are the right tool for those)."""
-    c = corpus.select(
-        F.col(id_col),
-        F.explode_outer(word_shingles(F.col(text_col), n)).alias("sh"),
+    quality.py are the right tool for those).
+
+    Plan shape: explode -> (doc, shingle) pre-aggregation -> join ->
+    plain counts.  The pre-agg collapses within-doc repeats so every
+    downstream aggregate is a map-side-combinable COUNT/SUM — the
+    former count_distinct form planned an Expand (x3 row
+    multiplication for the two distinct aggregates) over every
+    exploded shingle.  (Do NOT carry a computed total column through
+    the explode instead: Generate re-evaluates carried expressions
+    once per OUTPUT row — measured 30x slower.)"""
+    c = (
+        corpus.select(
+            F.col(id_col),
+            F.explode_outer(word_shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .groupBy(id_col, "sh")
+        .agg(F.count("sh").alias("_c"))
     )
     b = (
         benchmark.select(
@@ -46,17 +59,12 @@ def ngram_contamination(
     )
     joined = c.join(F.broadcast(b), "sh", "left")
     return joined.groupBy(id_col).agg(
-        F.count("sh").alias("n_shingles"),
-        F.count_distinct(
-            F.when(F.col("_hit").isNotNull(), F.col("sh"))
-        ).alias("n_contaminated"),
+        F.sum("_c").alias("n_shingles"),
+        F.count("_hit").alias("n_contaminated"),
         F.round(
             F.when(
                 F.count("sh") > 0,
-                F.count_distinct(
-                    F.when(F.col("_hit").isNotNull(), F.col("sh"))
-                ).cast("double")
-                / F.count_distinct("sh"),
+                F.count("_hit").cast("double") / F.count("sh"),
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("hit_rate"),

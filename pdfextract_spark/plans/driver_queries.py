@@ -2274,7 +2274,7 @@ def decontaminate_ngram(spark, sf_dir):
     deterministic positive control."""
     from ..operators.decontaminate import ngram_contamination
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     bench = docs.where(F.col("doc_id") % 20 == 0)
     return ngram_contamination(docs, bench, n=5)
 
@@ -2341,7 +2341,7 @@ def quality_repetition(spark, sf_dir):
     shuffles; no Python."""
     from ..operators.quality import repetition_stats
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     return repetition_stats(docs, n=2)
 
 
