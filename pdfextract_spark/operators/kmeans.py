@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -55,10 +55,10 @@ def kmeans(
     with the centre list when empty clusters were dropped) — so the
     two outputs always cross-tabulate.
 
-    ``df`` must not already carry ``cid``, ``_dist``, ``_rn`` or
-    ``_c_<key>`` columns (same contract style as resolve/rangejoin).
+    ``df`` must not already carry a ``cid`` column (same contract
+    style as resolve/rangejoin).
     """
-    reserved = {"cid", "_dist", "_rn"} | {f"_c_{key}" for key in keys}
+    reserved = {"cid"}
     clash = [c for c in df.columns if c in reserved]
     if clash:
         raise ValueError(
@@ -90,7 +90,10 @@ def kmeans(
 
         darr = F.array(*[dist_to(c) for c in centers_now])
         cid = (F.array_position(darr, F.array_min(darr)) - 1).cast("bigint")
-        return df.withColumn("cid", cid)
+        # null feature -> every distance null -> array_position null;
+        # the former row_number form ordered NULL distances first and
+        # assigned such rows cluster 0 — preserve that behavior
+        return df.withColumn("cid", F.coalesce(cid, F.lit(0).cast("bigint")))
 
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")

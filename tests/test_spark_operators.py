@@ -1049,3 +1049,49 @@ def test_lsh_star_edges_same_clusters_as_pairs(spark):
         for r in dedup.lsh_dedup_clusters(df, **kw).collect()
     }
     assert pair_comp == star_comp
+
+
+def test_kmeans_null_feature_assigns_cluster_zero(spark):
+    """A null feature value nulls every distance; such rows keep the
+    pre-rewrite behavior (NULL distances ordered first -> cluster 0)
+    instead of crashing the driver-side center sort."""
+    from pdfextract_spark.operators.kmeans import kmeans
+
+    df = spark.createDataFrame(
+        [(0, 0.0), (1, 0.1), (2, 10.0), (3, None)],
+        "item_id bigint, x double",
+    )
+    centers, assigned = kmeans(
+        df, ["x"], k=2, id_col="item_id",
+        init=[{"x": 0.0}, {"x": 10.0}], max_iter=1,
+    )
+    by_id = {r["item_id"]: r["cid"] for r in assigned.collect()}
+    assert by_id[3] == 0 and by_id[2] == 1 and by_id[0] == 0
+
+
+def test_simhash_wide_hi_chunks_match_python_reference(spark):
+    """fp2/fp3 (bits 32-63, the second-nibble-bit plane) checked
+    value-exact against an independent pure-Python reference."""
+    import hashlib
+
+    rows = [(1, "alpha beta gamma delta"), (2, "the quick brown fox " * 5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["fp0"], r["fp1"], r["fp2"], r["fp3"])
+        for r in dedup.simhash_table_wide(df, bits=64, chunk_bits=16).collect()
+    }
+    for doc_id, text in rows:
+        toks = " ".join(text.lower().split()).split(" ")
+        hexes = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+        fps = []
+        for c in range(4):
+            fp = 0
+            for j in range(c * 16, c * 16 + 16):
+                bitval = 8 if j < 32 else 4
+                s = sum(
+                    1 if (int(h[j % 32], 16) & bitval) else -1 for h in hexes
+                )
+                if s > 0:
+                    fp |= 1 << (j - c * 16)
+            fps.append(fp)
+        assert got[doc_id] == tuple(fps), doc_id
