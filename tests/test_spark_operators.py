@@ -1095,3 +1095,20 @@ def test_simhash_wide_hi_chunks_match_python_reference(spark):
                     fp |= 1 << (j - c * 16)
             fps.append(fp)
         assert got[doc_id] == tuple(fps), doc_id
+
+
+def test_kmeans_assign_stage_has_no_exchange(spark):
+    """The argmin assignment is a pure projection: its physical plan
+    must contain no Exchange (the point of the crossJoin+window ->
+    distance-array rewrite)."""
+    from pdfextract_spark.operators.kmeans import kmeans
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(50)], "item_id bigint, x double"
+    )
+    _, assigned = kmeans(
+        df, ["x"], k=3, id_col="item_id",
+        init=[{"x": 0.0}, {"x": 3.0}, {"x": 6.0}], max_iter=1,
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
