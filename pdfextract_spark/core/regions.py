@@ -14,18 +14,6 @@ from . import spatial
 _Y_KEY = itemgetter("y")
 
 
-def _incident(l: dict, r: dict) -> bool:
-    """regions.rb:15-25 — x-interval incidence (closed ranges)."""
-    lx1, lx2 = l["x"], l["x"] + l["width"]
-    rx1, rx2 = r["x"], r["x"] + r["width"]
-    return (
-        (lx1 <= rx1 <= lx2)
-        or (lx1 <= rx2 <= lx2)
-        or (rx1 <= lx1 <= rx2)
-        or (rx1 <= lx2 <= rx2)
-    )
-
-
 def _text_len(obj: dict) -> int:
     """len(spatial.get_text_content(obj)) without building the string:
     line contents carry no edge whitespace (both the typeset fast path
@@ -98,22 +86,32 @@ def regions_for_page(
 
     regions: list[dict] = []
     compare_index = 1
+    # the accumulator b == ordered[0] is stable across inner
+    # iterations; hoist its hot fields into locals and refresh them
+    # only when b changes (merge or rotation) — the loop body otherwise
+    # pays ~8 dict lookups per comparison in an O(n^2) scan
+    b = ordered[0]
+    b_x = b["x"]
+    b_x2 = b_x + b["width"]
+    b_top = b["y"] + b["height"]
+    b_lh = b["line_height"]
     while len(ordered) > compare_index:
-        b = ordered[0]
         t = ordered[compare_index]
 
-        line_height = b["line_height"]
-        slop = min(line_height, t["height"]) * line_slop
-        incident_y = (b["y"] + b["height"] + slop) >= t["y"]
-
-        if incident_y and _incident(t, b):
+        t_h = t["height"]
+        slop = (b_lh if b_lh < t_h else t_h) * line_slop
+        if (b_top + slop) >= t["y"] and (
+            # x-interval incidence (regions.rb:15-25, symmetric)
+            (tx1 := t["x"]) <= b_x2
+            and b_x <= (tx1 + t["width"])
+        ):
             # in-place Spatial.merge(t, b, lines=True):
             # bbox union; lines = t.lines + b.lines; font/line_height
             # from the longer text side (ties -> b, the accumulator)
-            blx = t["x"] if t["x"] < b["x"] else b["x"]
+            blx = tx1 if tx1 < b_x else b_x
             bly = t["y"] if t["y"] < b["y"] else b["y"]
-            trx = max(t["x"] + t["width"], b["x"] + b["width"])
-            try_ = max(t["y"] + t["height"], b["y"] + b["height"])
+            trx = max(tx1 + t["width"], b_x2)
+            try_ = max(t["y"] + t_h, b_top)
             if t["_tlen"] > b["_tlen"]:
                 b["font"] = t["font"]
                 b["line_height"] = t["line_height"]
@@ -121,6 +119,10 @@ def regions_for_page(
             b["y"] = bly
             b["width"] = trx - blx
             b["height"] = try_ - bly
+            b_x = blx
+            b_x2 = trx
+            b_top = try_
+            b_lh = b["line_height"]
             # result order is t.lines + b.lines, but lines are STORED
             # reversed during the loop (finalized below): appending
             # t's single line is O(1) instead of the O(|b.lines|)
@@ -147,6 +149,12 @@ def regions_for_page(
             regions.append(ordered[0])
             del ordered[0]
             compare_index = 1
+            if ordered:
+                b = ordered[0]
+                b_x = b["x"]
+                b_x2 = b_x + b["width"]
+                b_top = b["y"] + b["height"]
+                b_lh = b["line_height"]
     if ordered:
         regions.append(ordered[0])
     for region in regions:
