@@ -172,8 +172,15 @@ def lsh_candidate_pairs(
     **kw,
 ) -> DataFrame:
     """Near-dup candidate pairs from MinHash LSH bands (distinct
-    (a, b) with a < b sharing at least one band bucket)."""
-    bands = minhash_bands(df, text_col, id_col, **kw)
+    (a, b) with a < b sharing at least one band bucket).
+
+    The band table is materialized once behind a lazy localCheckpoint:
+    the self-join otherwise re-evaluates the whole shingle->md5->min
+    pipeline on both sides (CollapseProject inlining — 1.4 s vs 0.24 s
+    measured at sf0.1).  Batch-only as a result."""
+    bands = minhash_bands(df, text_col, id_col, **kw).localCheckpoint(
+        eager=False
+    )
     l = bands.alias("l")
     r = bands.alias("r")
     return (
@@ -211,8 +218,13 @@ def lsh_star_edges(
     partial-aggregates instead of hot-spotting one task.
     Returns (a, b, bucket_size) with a = the bucket's min doc, a < b;
     ``bucket_size`` surfaces the mega-buckets a capped pairwise run
-    would silently explode on."""
-    bands = minhash_bands(df, text_col, id_col, **kw)
+    would silently explode on.  The band table is materialized once
+    behind a lazy localCheckpoint — the hub aggregation and the join
+    back both reference it (same CollapseProject re-evaluation trap as
+    lsh_candidate_pairs)."""
+    bands = minhash_bands(df, text_col, id_col, **kw).localCheckpoint(
+        eager=False
+    )
     hubs = bands.groupBy("band", "band_hash").agg(
         F.min(id_col).alias("_hub"), F.count("*").alias("bucket_size")
     )
