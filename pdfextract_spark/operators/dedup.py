@@ -262,10 +262,13 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact k-shingle Jaccard for candidate pairs (verify stage after
     LSH).  Joins are broadcast-eligible when the candidate set is
-    small; array_intersect/array_union stay JVM-side."""
+    small; array_intersect/array_union stay JVM-side.  The shingle
+    table is materialized once (lazy localCheckpoint) — it is joined
+    as both sides, and CollapseProject would otherwise re-shingle the
+    corpus twice."""
     sh = df.select(
         F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh")
-    )
+    ).localCheckpoint(eager=False)
     a = sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b")
     joined = pairs.join(a, "a").join(b, "b")

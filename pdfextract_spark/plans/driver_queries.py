@@ -863,6 +863,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
         "lang",
         F.array_distinct(dedup.word_shingles(F.col("text"), 3)).alias("s"),
     ).where(F.size(F.split(dedup.normalize_text(F.col("text")), " ")) >= 3)
+    # materialize the shingle table once before the self-join
+    # (CollapseProject would re-shingle both sides: 0.8 vs 0.44 s)
+    sh = sh.localCheckpoint(eager=False)
     a = sh.select(
         F.col("doc_id").alias("a"),
         F.col("lang").alias("lang"),
