@@ -120,8 +120,13 @@ def regions_for_page(
             b["width"] = trx - blx
             b["height"] = try_ - bly
             b_x = blx
-            b_x2 = trx
-            b_top = try_
+            # recompute the cached edges exactly as every later
+            # comparison used to (x + width, y + height): blx +
+            # (trx - blx) can differ from trx by 1 ulp, and caching
+            # the un-rounded trx would flip boundary-touch incidence
+            # decisions versus the reference kernel
+            b_x2 = blx + b["width"]
+            b_top = bly + b["height"]
             b_lh = b["line_height"]
             # result order is t.lines + b.lines, but lines are STORED
             # reversed during the loop (finalized below): appending

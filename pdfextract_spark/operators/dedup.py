@@ -177,7 +177,9 @@ def lsh_candidate_pairs(
     The band table is materialized once behind a lazy localCheckpoint:
     the self-join otherwise re-evaluates the whole shingle->md5->min
     pipeline on both sides (CollapseProject inlining — 1.4 s vs 0.24 s
-    measured at sf0.1).  Batch-only as a result."""
+    measured at sf0.1).  Batch-only as a result; the checkpoint blocks
+    live until the returned frame is garbage-collected (long-lived
+    sessions issuing many calls should unpersist consumed results)."""
     bands = minhash_bands(df, text_col, id_col, **kw).localCheckpoint(
         eager=False
     )
@@ -221,7 +223,7 @@ def lsh_star_edges(
     would silently explode on.  The band table is materialized once
     behind a lazy localCheckpoint — the hub aggregation and the join
     back both reference it (same CollapseProject re-evaluation trap as
-    lsh_candidate_pairs)."""
+    lsh_candidate_pairs; same storage-lifetime caveat)."""
     bands = minhash_bands(df, text_col, id_col, **kw).localCheckpoint(
         eager=False
     )
@@ -265,7 +267,7 @@ def jaccard_pairs(
     small; array_intersect/array_union stay JVM-side.  The shingle
     table is materialized once (lazy localCheckpoint) — it is joined
     as both sides, and CollapseProject would otherwise re-shingle the
-    corpus twice."""
+    corpus twice (same storage-lifetime caveat as lsh_candidate_pairs)."""
     sh = df.select(
         F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh")
     ).localCheckpoint(eager=False)

@@ -84,12 +84,15 @@ def interval_join(
     ``prefer_shuffle_hash`` (default True) hints the ``a`` side as a
     ShuffledHashJoin build: sorting both EXPLODED sides for a
     sort-merge join is the dominant cost of the grid join (3.2 s vs
-    0.9 s measured at sf0.1) and buys nothing — the per-cell
-    populations the hash table holds are bounded by the autotuned
-    cell width, so the build fits executor memory by construction.
-    Pass False to fall back to Spark's default (sort-merge, which
-    spills) when the ``a`` side's per-(keys, cell) population is
-    unbounded, e.g. adversarial key skew with no salting.
+    0.9 s measured at sf0.1) and buys nothing.  Two caveats the hint
+    carries: (1) a build TASK holds its whole shuffle partition — all
+    (keys, cell) groups hashed to it, roughly |exploded a| /
+    shuffle-partitions rows — so size ``spark.sql.shuffle.partitions``
+    for the ``a`` side (the hash build does not spill the way
+    sort-merge does); (2) the hint preempts Spark's size-based
+    auto-broadcast, so a caller with a tiny ``b`` side that would get
+    a zero-shuffle BroadcastHashJoin should pass False (or broadcast
+    explicitly).  Pass False to restore Spark's default selection.
 
     NOTE: the autotune runs an eager aggregation job over both inputs
     at CALL time (the join itself stays lazy).  For expensive derived

@@ -60,7 +60,10 @@ REPRESENTATIVE = {
     "never broadcast; left join, null -> not-boilerplate",
     "dedup_ngram_jaccard": "id-window blocking lowered to a "
     "(lang, grid-cell) EQUI-join via a 2-cell explode of the right "
-    "side — hash join, no nested-loop, each pair matched exactly once",
+    "side — hash join, no nested-loop, each pair matched exactly once; "
+    "NOTE: the shingle table is checkpoint-fenced, so the plan roots at "
+    "Scan ExistingRDD and scan-pushdown evidence lives in the pre-fence "
+    "stage, not in this report",
     "dedup_simhash": "64-bit production SimHash: token md5s projected "
     "once, 4x16-bit chunk columns keep each codegen'd aggregate "
     "bounded",
