@@ -1,2 +1,7 @@
-from .extract_stream import extract_stream, start_file_stream  # noqa: F401
+from .extract_stream import (  # noqa: F401
+    extract_stream,
+    start_file_stream,
+    streaming_conv_metrics,
+    streaming_dedup_exact,
+)
 from .stateful import conversation_sessions  # noqa: F401

@@ -76,3 +76,33 @@ def streaming_conv_metrics(
             F.sum("metrics.refs_matched").alias("refs_matched"),
         )
     )
+
+
+def streaming_dedup_exact(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each normalized
+    text; later copies arriving within the watermark horizon are
+    dropped (``dropDuplicatesWithinWatermark`` keyed on the md5 of the
+    normalized text, the same hash ``operators.dedup.exact_dedup``
+    groups on in batch).
+
+    This is the ingest-side shape of corpus dedup at 10^12-turn scale:
+    state is bounded by the watermark (keys older than the horizon are
+    evicted), so the query runs forever on a firehose — the batch
+    operator then handles the full-corpus pass.  Duplicates farther
+    apart than the watermark are deliberately NOT caught here; that is
+    the price of bounded state, stated rather than hidden."""
+    from ..operators.dedup import normalize_text
+
+    return (
+        stream_df.withColumn(
+            "_text_hash", F.md5(normalize_text(F.col(text_col)))
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_text_hash"])
+        .drop("_text_hash")
+    )

@@ -210,3 +210,41 @@ def test_stateful_conversation_close_out(spark, tmp_path):
     # B may or may not have closed depending on watermark advance; A's
     # exactly-once close is the stateful contract under test
     assert spark.read.parquet(out_dir).where("conv_id = 'A'").count() == 1
+
+
+def test_streaming_dedup_exact_drops_watermark_dups(spark, tmp_path):
+    """Exact dedup under a streaming plan: duplicates arriving within
+    the watermark horizon are dropped (first arrival wins), distinct
+    texts all pass; a whitespace/case variant counts as a duplicate
+    (same normalized hash as the batch operator)."""
+    import datetime
+
+    from pdfextract_spark.streaming import streaming_dedup_exact
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("c0", 0, "user", "unique text one", None, base),
+        ("c0", 1, "user", "shared   Text", None, base + datetime.timedelta(seconds=1)),
+        ("c1", 2, "user", "shared text", None, base + datetime.timedelta(seconds=2)),
+        ("c1", 3, "user", "unique text two", None, base + datetime.timedelta(seconds=3)),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(SCHEMA).parquet(in_dir)
+    )
+    deduped = streaming_dedup_exact(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    assert q.exception() is None
+    out = spark.read.parquet(out_dir)
+    got = sorted(r["turn_idx"] for r in out.collect())
+    # turn 2 ('shared text') is a normalized duplicate of turn 1
+    assert got == [0, 1, 3]
