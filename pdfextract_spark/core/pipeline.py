@@ -20,7 +20,7 @@ Two paths:
 from __future__ import annotations
 
 from ..settings import DEFAULT, Settings
-from . import furniture, language, spatial
+from . import furniture, language
 from .chunks import chunks_for_page
 from .references import references_for_doc
 from .regions import regions_for_page

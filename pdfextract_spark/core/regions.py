@@ -9,7 +9,7 @@ from __future__ import annotations
 from operator import itemgetter
 
 from ..settings import Settings
-from . import spatial
+
 
 _Y_KEY = itemgetter("y")
 

@@ -24,7 +24,6 @@ path exercises it.  Re-expressed here as a first-class operator:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
