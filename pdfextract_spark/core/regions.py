@@ -9,8 +9,6 @@ from __future__ import annotations
 from operator import itemgetter
 
 from ..settings import Settings
-
-
 _Y_KEY = itemgetter("y")
 
 
