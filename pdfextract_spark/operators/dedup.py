@@ -619,18 +619,26 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """Connected components over an undirected edge list by iterative
-    min-label propagation: every node's label becomes the minimum of
-    its own and its neighbors', repeated until a fixpoint.  Converges
-    in O(diameter) rounds — duplicate clusters from LSH have tiny
-    diameters, so a handful of rounds suffices (``max_iter`` bounds
-    pathological chains; raising it is safe).
+    min-label propagation WITH pointer jumping: each round a node's
+    label becomes the minimum of (its own, its neighbors', and its
+    label's label).  The label-of-label shortcut halves chain lengths
+    every round, so convergence is O(log diameter) instead of
+    O(diameter) — a 500-node path settles in ~10 rounds where plain
+    propagation needs 500 (``max_iter=20`` therefore covers diameters
+    up to ~2^20 before the loud non-convergence error fires).
+
+    Correctness invariant: a node's label is always the id of some
+    node in its own component (min-of-neighbors and label-of-label
+    both stay inside the component), labels only decrease, and the
+    fixpoint labels every node with its component's minimum id.
 
     This closes the gap between candidate PAIRS and production dedup:
     picking one representative per duplicate CLUSTER (min id = the
     component label) requires the transitive closure, not pairs.
-    Returns (node, comp).  Each iteration is two shuffles (propagate,
-    re-minimize) on data sized by edges — the standard scalable shape
-    (large-star/small-star refinements drop in here if diameters grow).
+    Returns (node, comp).  Each iteration is three bounded shuffles
+    (neighbor propagate, pointer jump, re-minimize) on data sized by
+    edges + nodes — the Kiveris-et-al. alternating-star algorithm is
+    the next refinement if even log-diameter rounds are too many.
     """
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -650,20 +658,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("neigh_comp"))
         )
+        # pointer jump: look up the label OF the current label (always
+        # a node in the same component, so least() below stays safe)
+        jump = labels.select(
+            F.col("node").alias("_jn"), F.col("comp").alias("_jc")
+        )
         # the changed flag rides along in the SAME projection (a label
-        # only ever decreases, so changed == some neighbor min beat it)
+        # only ever decreases, so changed == some candidate beat it)
         # — checking convergence off the checkpoint costs a cheap scan
         # instead of the former extra join against the old labels
+        cand = F.least(
+            F.coalesce("neigh_comp", F.col("comp")),
+            F.coalesce("_jc", F.col("comp")),
+        )
         new_labels = (
             labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
+            .join(jump, labels["comp"] == F.col("_jn"), "left")
             .select(
                 "node",
-                F.least(
-                    F.col("comp"), F.coalesce("neigh_comp", F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce("neigh_comp", F.col("comp")) < F.col("comp")).alias(
-                    "_changed"
-                ),
+                F.least(F.col("comp"), cand).alias("comp"),
+                (cand < F.col("comp")).alias("_changed"),
             )
         )
         ckpt = new_labels.localCheckpoint(eager=True)

@@ -1112,3 +1112,54 @@ def test_kmeans_assign_stage_has_no_exchange(spark):
     )
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_connected_components_long_path_pointer_jumping(spark):
+    """A 500-node path (diameter 499) must converge within max_iter=20:
+    plain min-label propagation would need ~500 rounds, the pointer-
+    jumping variant needs O(log d).  All nodes label to 0."""
+    n = 500
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a bigint, b bigint"
+    )
+    out = dedup.connected_components(edges, "a", "b", max_iter=20).collect()
+    assert len(out) == n
+    assert {r["comp"] for r in out} == {0}
+
+
+def test_connected_components_random_graph_matches_networkless_union_find(spark):
+    """Pointer-jumping CC equals a driver-side union-find on a seeded
+    random multi-component graph."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(120))
+    edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(80)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    want = {v: find(v) for v in touched}
+    # canonical: min node id per root
+    roots = {}
+    for v, r in want.items():
+        roots.setdefault(r, []).append(v)
+    canon = {v: min(roots[r]) for v, r in want.items()}
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(df, "a", "b").collect()
+    }
+    assert got == canon
