@@ -25,13 +25,20 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def text_hash(col: Column) -> Column:
+    """THE dedup key: md5 of the normalized text.  Shared by batch
+    ``exact_dedup`` and ``streaming.streaming_dedup_exact`` so the
+    ingest-side and corpus-side passes can never diverge."""
+    return F.md5(normalize_text(col))
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact dedup via hash-groupBy: one row per distinct normalized
     text, keeping the minimum id (deterministic canonical winner) and
     the duplicate count.  Single shuffle on the text hash."""
-    h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    h = text_hash(F.col(text_col)).alias("text_hash")
     return (
         df.select(F.col(id_col), h)
         .groupBy("text_hash")
@@ -652,33 +659,39 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     converged = False
     prev = None
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("comp").alias("neigh_comp"))
         )
-        # pointer jump: look up the label OF the current label (always
-        # a node in the same component, so least() below stays safe)
-        jump = labels.select(
-            F.col("node").alias("_jn"), F.col("comp").alias("_jc")
+        joined = labels.join(
+            neigh_min, labels["node"] == neigh_min["src"], "left"
         )
+        if i == 0:
+            # round 1's jump is a guaranteed no-op (comp == node), so
+            # the label-of-label join would shuffle for nothing
+            cand = F.coalesce("neigh_comp", F.col("comp"))
+        else:
+            # pointer jump: look up the label OF the current label
+            # (always a node in the same component, so least() below
+            # stays safe)
+            jump = labels.select(
+                F.col("node").alias("_jn"), F.col("comp").alias("_jc")
+            )
+            joined = joined.join(jump, labels["comp"] == F.col("_jn"), "left")
+            cand = F.least(
+                F.coalesce("neigh_comp", F.col("comp")),
+                F.coalesce("_jc", F.col("comp")),
+            )
         # the changed flag rides along in the SAME projection (a label
         # only ever decreases, so changed == some candidate beat it)
         # — checking convergence off the checkpoint costs a cheap scan
         # instead of the former extra join against the old labels
-        cand = F.least(
-            F.coalesce("neigh_comp", F.col("comp")),
-            F.coalesce("_jc", F.col("comp")),
-        )
-        new_labels = (
-            labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
-            .join(jump, labels["comp"] == F.col("_jn"), "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), cand).alias("comp"),
-                (cand < F.col("comp")).alias("_changed"),
-            )
+        new_labels = joined.select(
+            "node",
+            F.least(F.col("comp"), cand).alias("comp"),
+            (cand < F.col("comp")).alias("_changed"),
         )
         ckpt = new_labels.localCheckpoint(eager=True)
         changed = ckpt.where("_changed").limit(1).count()

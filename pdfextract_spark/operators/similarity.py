@@ -29,10 +29,18 @@ def norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    d = dot(a, b)
-    n = norm(a) * norm(b)
+def cosine_from_parts(d: Column, n_a: Column, n_b: Column) -> Column:
+    """Cosine from a precomputed dot product and per-side norms — THE
+    zero-norm guard definition (0.0, not null, for zero vectors).  Use
+    this with materialized norms when the pair count is quadratic in
+    block size but the vector count is linear (pairwise near-dup
+    joins); ``cosine`` delegates here so the semantics live once."""
+    n = n_a * n_b
     return F.when(n == 0, F.lit(0.0)).otherwise(d / n)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return cosine_from_parts(dot(a, b), norm(a), norm(b))
 
 
 def cosine_topk(

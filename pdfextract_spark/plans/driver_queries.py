@@ -1283,7 +1283,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     unchanged, just materialized).  (Threshold 0.35 is calibrated to
     this synthetic embedding table, whose intra-label cosines top out
     near 0.47; real near-dup pipelines use ~0.9.)"""
-    from ..operators.similarity import dot, norm
+    from ..operators.similarity import cosine_from_parts, dot, norm
 
     emb = _spread(spark, load_table(spark, sf_dir, "embeddings"))
     e = (
@@ -1310,9 +1310,8 @@ def dedup_embedding_cosine(spark, sf_dir):
     pairs = a.join(
         b, (F.col("label_a") == F.col("label_b")) & (F.col("a") < F.col("b"))
     )
-    nn = F.col("n_a") * F.col("n_b")
-    cs = F.when(nn == 0, F.lit(0.0)).otherwise(
-        dot(F.col("emb_a"), F.col("emb_b")) / nn
+    cs = cosine_from_parts(
+        dot(F.col("emb_a"), F.col("emb_b")), F.col("n_a"), F.col("n_b")
     )
     return pairs.where(cs >= 0.35).select(
         "a", "b", F.round(cs, 4).alias("cos_sim")

@@ -96,12 +96,10 @@ def streaming_dedup_exact(
     operator then handles the full-corpus pass.  Duplicates farther
     apart than the watermark are deliberately NOT caught here; that is
     the price of bounded state, stated rather than hidden."""
-    from ..operators.dedup import normalize_text
+    from ..operators.dedup import text_hash
 
     return (
-        stream_df.withColumn(
-            "_text_hash", F.md5(normalize_text(F.col(text_col)))
-        )
+        stream_df.withColumn("_text_hash", text_hash(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_text_hash"])
         .drop("_text_hash")
