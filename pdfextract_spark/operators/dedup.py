@@ -581,6 +581,10 @@ def paragraph_dedup(
             ),
         )
     )
+    # paras feeds BOTH the owners aggregation and the join back —
+    # materialize the explode+md5 once (same CollapseProject
+    # re-evaluation trap as the LSH band table; ~40% at sf0.1)
+    paras = paras.localCheckpoint(eager=False)
     owners = paras.groupBy("para_hash").agg(
         F.min("_key").alias("_keep_key"),
         F.count("*").alias("dup_count"),
