@@ -717,3 +717,39 @@ def connected_components(
             f"returning partial labels would silently corrupt dedup"
         )
     return labels.select(F.col("node"), F.col("comp"))
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    max_iter: int = 20,
+    **lsh_kw,
+) -> DataFrame:
+    """The full production near-dup pipeline as one operator:
+    LSH candidate pairs -> exact shingle-Jaccard verify (>= threshold)
+    -> connected components over the verified edges -> one row per doc
+    with its cluster label (component min id) and ``is_canonical``
+    (doc == label; exactly one canonical doc per cluster).
+
+    Docs sharing no verified edge with anyone form singleton clusters
+    of themselves.  Every stage is the scalable shape documented on
+    the underlying operators (banded equi-joins, fenced self-joins,
+    pointer-jumping closure); nothing here is ever all-pairs."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, **lsh_kw)
+    verified = jaccard_pairs(df, pairs, text_col, id_col).where(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    comp = connected_components(verified, "a", "b", max_iter=max_iter)
+    return (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("comp", F.col(id_col)).alias("cluster"),
+            (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias(
+                "is_canonical"
+            ),
+        )
+    )
