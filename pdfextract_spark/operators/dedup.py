@@ -13,6 +13,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .fence import fence as _fence
+from .fence import release_fence as _release_fence
+
 
 def _md5_int(col: Column) -> Column:
     """First 12 hex digits of md5 as a bigint — stable across Spark and
@@ -176,20 +179,29 @@ def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fence: bool = True,
     **kw,
 ) -> DataFrame:
     """Near-dup candidate pairs from MinHash LSH bands (distinct
     (a, b) with a < b sharing at least one band bucket).
 
-    The band table is materialized once behind a lazy localCheckpoint:
-    the self-join otherwise re-evaluates the whole shingle->md5->min
-    pipeline on both sides (CollapseProject inlining — 1.4 s vs 0.24 s
-    measured at sf0.1).  Batch-only as a result; the checkpoint blocks
-    live until the returned frame is garbage-collected (long-lived
-    sessions issuing many calls should unpersist consumed results)."""
-    bands = minhash_bands(df, text_col, id_col, **kw).localCheckpoint(
-        eager=False
-    )
+    WARNING — pairwise-per-bucket bound: a bucket holding B docs emits
+    B^2/2 pairs, so mega-buckets (boilerplate corpora) explode here;
+    use ``lsh_star_edges``/``lsh_dedup_clusters`` for LSH-connectivity
+    dedup, or ``near_dup_dedup`` (which collapses exact duplicates
+    first) for the Jaccard-verified flavor.
+
+    The band table is materialized once behind a checkpoint fence
+    (``fence=True``, default): the self-join otherwise re-evaluates the
+    whole shingle->md5->min pipeline on both sides (CollapseProject
+    inlining — 1.4 s vs 0.24 s measured at sf0.1).  Batch-only as a
+    result; release the fence storage with ``fence.fence_scope()`` /
+    ``release_fence`` after consuming the result, or pass
+    ``fence=False`` to keep pure lineage (streaming / fault-tolerant
+    callers) at the re-evaluation cost."""
+    bands = minhash_bands(df, text_col, id_col, **kw)
+    if fence:
+        bands = _fence(bands)
     l = bands.alias("l")
     r = bands.alias("r")
     return (
@@ -210,6 +222,7 @@ def lsh_star_edges(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fence: bool = True,
     **kw,
 ) -> DataFrame:
     """Mega-bucket-safe LSH output: per (band, band_hash) bucket emit
@@ -228,12 +241,13 @@ def lsh_star_edges(
     Returns (a, b, bucket_size) with a = the bucket's min doc, a < b;
     ``bucket_size`` surfaces the mega-buckets a capped pairwise run
     would silently explode on.  The band table is materialized once
-    behind a lazy localCheckpoint — the hub aggregation and the join
+    behind a checkpoint fence — the hub aggregation and the join
     back both reference it (same CollapseProject re-evaluation trap as
-    lsh_candidate_pairs; same storage-lifetime caveat)."""
-    bands = minhash_bands(df, text_col, id_col, **kw).localCheckpoint(
-        eager=False
-    )
+    lsh_candidate_pairs; same lifetime story — see operators/fence.py,
+    ``fence=False`` opts out)."""
+    bands = minhash_bands(df, text_col, id_col, **kw)
+    if fence:
+        bands = _fence(bands)
     hubs = bands.groupBy("band", "band_hash").agg(
         F.min(id_col).alias("_hub"), F.count("*").alias("bucket_size")
     )
@@ -268,16 +282,19 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    fence: bool = True,
 ) -> DataFrame:
     """Exact k-shingle Jaccard for candidate pairs (verify stage after
     LSH).  Joins are broadcast-eligible when the candidate set is
     small; array_intersect/array_union stay JVM-side.  The shingle
-    table is materialized once (lazy localCheckpoint) — it is joined
+    table is materialized once (checkpoint fence) — it is joined
     as both sides, and CollapseProject would otherwise re-shingle the
-    corpus twice (same storage-lifetime caveat as lsh_candidate_pairs)."""
+    corpus twice (lifetime/opt-out story: operators/fence.py)."""
     sh = df.select(
         F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh")
-    ).localCheckpoint(eager=False)
+    )
+    if fence:
+        sh = _fence(sh)
     a = sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b")
     joined = pairs.join(a, "a").join(b, "b")
@@ -451,6 +468,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     n_chunks: int = 4,
     max_hamming: int = 3,
+    fence: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (a, b, hamming) from a chunked fingerprint table
     (the output of ``simhash_table_wide``): one equi-join per chunk on
@@ -460,19 +478,20 @@ def simhash_hamming_pairs(
     leave >= 1 chunk identical).  Every join is a hash join; shuffle
     is n_chunks x n rows, never n^2.
 
-    The fingerprint input is materialized ONCE behind a lazy
-    localCheckpoint before the self-join: without the fence Catalyst's
+    The fingerprint input is materialized ONCE behind a checkpoint
+    fence before the self-join: without the fence Catalyst's
     CollapseProject inlines the fingerprint expressions into every
     chunk reference on both join sides (~16 re-evaluations of the
     whole bit pipeline — measured 13 s vs 0.9 s at sf0.1).  Batch-only
-    operator as a result (checkpointing needs a live SparkContext)."""
+    operator as a result (lifetime/opt-out story: operators/fence.py)."""
     if max_hamming >= n_chunks:
         raise ValueError(
             f"max_hamming={max_hamming} needs n_chunks > max_hamming for "
             f"pigeonhole recall (got {n_chunks})"
         )
     chunks = [f"fp{c}" for c in range(n_chunks)]
-    fp = fp.localCheckpoint(eager=False)
+    if fence:
+        fp = _fence(fp)
     keyed = fp.select(
         F.col(id_col),
         *chunks,
@@ -519,6 +538,7 @@ def paragraph_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_paras_per_doc: int = 100_000,
+    fence: bool = True,
 ) -> DataFrame:
     """One row per non-empty paragraph with its canonical owner: the
     corpus-wide first occurrence — (min doc, then min position) — of
@@ -584,7 +604,8 @@ def paragraph_dedup(
     # paras feeds BOTH the owners aggregation and the join back —
     # materialize the explode+md5 once (same CollapseProject
     # re-evaluation trap as the LSH band table; ~40% at sf0.1)
-    paras = paras.localCheckpoint(eager=False)
+    if fence:
+        paras = _fence(paras)
     owners = paras.groupBy("para_hash").agg(
         F.min("_key").alias("_keep_key"),
         F.count("*").alias("dup_count"),
@@ -604,14 +625,15 @@ def strip_duplicate_paragraphs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_paras_per_doc: int = 100_000,
+    fence: bool = True,
 ) -> DataFrame:
     """Documents with corpus-duplicate paragraphs removed: keeps only
     each paragraph's canonical occurrence and reassembles the document
     (original paragraph text, original order, blank-line separators).
     Documents whose every paragraph was a later duplicate drop out."""
-    kept = paragraph_dedup(df, text_col, id_col, max_paras_per_doc).where(
-        "is_canonical"
-    )
+    kept = paragraph_dedup(
+        df, text_col, id_col, max_paras_per_doc, fence=fence
+    ).where("is_canonical")
     ordered = F.array_sort(
         F.collect_list(F.struct("para_idx", "para"))
     )
@@ -660,7 +682,7 @@ def connected_components(
     labels = nodes.select("node", F.col("node").alias("comp"))
     # checkpoint truncates the lineage the iterative loop would
     # otherwise grow without bound (each round re-plans the previous)
-    sym = sym.localCheckpoint(eager=True)
+    sym = _fence(sym, eager=True)
     converged = False
     prev = None
     for i in range(max_iter):
@@ -697,19 +719,27 @@ def connected_components(
             F.least(F.col("comp"), cand).alias("comp"),
             (cand < F.col("comp")).alias("_changed"),
         )
-        ckpt = new_labels.localCheckpoint(eager=True)
+        ckpt = _fence(new_labels, eager=True)
         changed = ckpt.where("_changed").limit(1).count()
         # the superseded round's checkpoint is dead once labels moves
-        # on — release its storage instead of retaining max_iter copies
-        # (unpersist must target the checkpointed frame itself, so the
-        # _changed drop happens on a projection of it)
+        # on — genuinely release its blocks instead of retaining
+        # max_iter copies.  (DataFrame.unpersist() is a NO-OP for
+        # localCheckpoint storage — it routes through the cache
+        # manager, which never saw these blocks; fence/release_fence
+        # free them through the Java RDD handle.  Verified: the former
+        # unpersist() left every round's RDD in getPersistentRDDs.)
         if prev is not None:
-            prev.unpersist()
+            _release_fence(prev)
         prev = ckpt
         labels = ckpt.drop("_changed")
         if changed == 0:
             converged = True
             break
+    # the returned labels depend only on the FINAL round's checkpoint —
+    # the symmetrized edge table's blocks are dead weight once the loop
+    # ends (the final checkpoint itself stays live for the caller; wrap
+    # the call in fence_scope() to release it after consumption)
+    _release_fence(sym)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
@@ -725,31 +755,73 @@ def near_dup_dedup(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.8,
     max_iter: int = 20,
+    fence: bool = True,
     **lsh_kw,
 ) -> DataFrame:
     """The full production near-dup pipeline as one operator:
-    LSH candidate pairs -> exact shingle-Jaccard verify (>= threshold)
-    -> connected components over the verified edges -> one row per doc
-    with its cluster label (component min id) and ``is_canonical``
-    (doc == label; exactly one canonical doc per cluster).
+    exact-duplicate collapse -> LSH candidate pairs over CANONICAL
+    texts only -> exact shingle-Jaccard verify (>= threshold) ->
+    connected components over the verified edges -> re-attach every
+    exact-duplicate member to its canonical's cluster.  Returns one
+    row per input doc: (id, cluster, is_canonical) with cluster = the
+    minimum doc id of the merged cluster and exactly one canonical doc
+    (the cluster-minimum itself) per cluster.
 
-    Docs sharing no verified edge with anyone form singleton clusters
-    of themselves.  Every stage is the scalable shape documented on
-    the underlying operators (banded equi-joins, fenced self-joins,
-    pointer-jumping closure); nothing here is ever all-pairs."""
-    pairs = lsh_candidate_pairs(df, text_col, id_col, **lsh_kw)
-    verified = jaccard_pairs(df, pairs, text_col, id_col).where(
-        F.col("jaccard") >= jaccard_threshold
+    Semantics: docs whose NORMALIZED texts are identical are the same
+    cluster by definition (their shingle Jaccard is 1.0) — including
+    docs too short to shingle at all, which a purely shingle-based
+    pipeline would leave as singletons; mutually-distinct texts must
+    additionally share an LSH bucket and pass the exact-Jaccard
+    threshold.
+
+    Mega-bucket safety: the classic web-corpus failure mode — 10^6
+    byte-identical boilerplate pages landing in one LSH band bucket
+    and emitting 10^12 candidate pairs — cannot happen here, because
+    identical normalized texts collapse to ONE canonical before LSH
+    ever runs (identical text => identical MinHash signature, so the
+    mega-bucket case IS the exact-dup case).  The collapse is a single
+    map-side-combinable groupBy on the text hash plus linear
+    hash-joins to attach members — never quadratic in group size.
+    Honest residual bound: a band bucket holding B mutually-DISTINCT
+    texts still emits B^2/2 verify pairs (star edges cannot replace
+    the pairwise stage under Jaccard verification, since only
+    hub-member pairs would be verified); run ``lsh_star_edges`` for
+    its ``bucket_size`` diagnostic when that distribution is in doubt.
+
+    Storage lifetime: the sub-operators fence their self-joined
+    intermediates (band + shingle tables) — wrap the call in
+    ``fence.fence_scope()`` to release those blocks after consuming
+    the result, or pass ``fence=False`` for pure lineage."""
+    k = lsh_kw.get("k", 3)
+    withh = df.select(
+        F.col(id_col), F.col(text_col), text_hash(F.col(text_col)).alias("_th")
     )
-    comp = connected_components(verified, "a", "b", max_iter=max_iter)
-    return (
-        df.select(F.col(id_col))
-        .join(comp, df[id_col] == comp["node"], "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("comp", F.col(id_col)).alias("cluster"),
-            (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias(
-                "is_canonical"
-            ),
-        )
+    groups = withh.groupBy("_th").agg(F.min(id_col).alias("_keep"))
+    # (doc, canonical-of-its-exact-group); the join key is the 32-hex
+    # text hash with ONE build row per key, so even a 10^6-member
+    # exact group is a streaming probe, not an explosion
+    members = withh.select(F.col(id_col), "_th").join(groups, "_th")
+    canon = (
+        withh.join(groups, "_th")
+        .where(F.col(id_col) == F.col("_keep"))
+        .select(F.col(id_col), F.col(text_col))
+    )
+    pairs = lsh_candidate_pairs(canon, text_col, id_col, fence=fence, **lsh_kw)
+    verified = jaccard_pairs(
+        canon, pairs, text_col, id_col, k=k, fence=fence
+    ).where(F.col("jaccard") >= jaccard_threshold)
+    comp = connected_components(verified, "a", "b", max_iter=max_iter).select(
+        F.col("node").alias("_keep"), F.col("comp").alias("_comp")
+    )
+    # canonicals with no verified edge keep themselves; members inherit
+    # their canonical's cluster.  The component label is the min of the
+    # participating canonical ids, and each canonical is the min of its
+    # exact group — so the label IS the global min doc id of the merged
+    # cluster, and doc == label picks exactly one canonical per cluster.
+    return members.join(comp, "_keep", "left").select(
+        F.col(id_col),
+        F.coalesce("_comp", F.col("_keep")).alias("cluster"),
+        (F.coalesce("_comp", F.col("_keep")) == F.col(id_col)).alias(
+            "is_canonical"
+        ),
     )

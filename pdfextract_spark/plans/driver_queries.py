@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, histogram, intervals, islands
+from ..operators.fence import fence as _ckfence
 from ..operators import quality as Q
 from ..operators import ranking, scoring, similarity
 from ..operators import text as T
@@ -865,7 +866,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ).where(F.size(F.split(dedup.normalize_text(F.col("text")), " ")) >= 3)
     # materialize the shingle table once before the self-join
     # (CollapseProject would re-shingle both sides: 0.8 vs 0.44 s)
-    sh = sh.localCheckpoint(eager=False)
+    sh = _ckfence(sh)
     a = sh.select(
         F.col("doc_id").alias("a"),
         F.col("lang").alias("lang"),
@@ -1293,8 +1294,8 @@ def dedup_embedding_cosine(spark, sf_dir):
             F.col("embedding").cast("array<double>").alias("v"),
         )
         .withColumn("n", norm(F.col("v")))
-        .localCheckpoint(eager=False)
     )
+    e = _ckfence(e)
     a = e.select(
         F.col("vec_id").alias("a"),
         F.col("label").alias("label_a"),
