@@ -84,6 +84,13 @@ BENCH_QUERIES_R3 = [
     "a13_svm_reference_score",
 ]
 
+# Round-4 manifest extension: the composed mega-bucket-safe near-dup
+# pipeline (exact collapse -> LSH+Jaccard over canonicals -> connected
+# components -> re-attach), new driver query this round.
+BENCH_QUERIES_R4 = [
+    "near_dup_dedup",
+]
+
 
 def run_extraction(spark, sf_dir: str, turns_per_doc: int):
     """Flagship: synth transcripts -> full extraction -> noop sink.
@@ -164,7 +171,7 @@ def main() -> None:
         # be dominated by a noise burst; the minimum is a noise-robust
         # estimator for these independent per-query timings (scaling
         # RATIOS use time-paired rounds instead — tools/scaling.py)
-        for name in BENCH_QUERIES + BENCH_QUERIES_R3:
+        for name in BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4:
             best = None
             for _ in range(MIN_OF_N):
                 t0 = time.time()
@@ -205,16 +212,20 @@ def main() -> None:
                 best_d = dt if best_d is None else min(best_d, dt)
             return best_d
 
-        best_d = duck_min("j1_interval_join")
-        extras["j1_duckdb_sec"] = round(best_d, 3)
+        # per-query DuckDB denominators for EVERY benched operator
+        # query (each one's own exact-value oracle on the same
+        # parquet, min of the same N) — round-over-round ratio
+        # tracking needs the denominator in the same record, not just
+        # for the round-3 additions (round-3 review item #8)
+        extras["duckdb_sec"] = {
+            name: round(duck_min(name), 3)
+            for name in BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4
+        }
+        best_d = extras["duckdb_sec"]["j1_interval_join"]
+        extras["j1_duckdb_sec"] = best_d
         extras["j1_spark_over_duckdb"] = round(
             queries["j1_interval_join"] / best_d, 2
         )
-        # per-query DuckDB denominators for the round-3 additions (all
-        # plain-SQL oracles on the same parquet, min of the same N)
-        extras["duckdb_sec"] = {
-            name: round(duck_min(name), 3) for name in BENCH_QUERIES_R3
-        }
     out = {
         "metric": "headline suite wall time (extraction + operators)",
         "value": total,

@@ -70,7 +70,7 @@ def interval_join(
     b_hi: str = "hi",
     cell_width: float | None = None,
     tune_sample_fraction: float | None = None,
-    prefer_shuffle_hash: bool = True,
+    prefer_shuffle_hash: bool = False,
 ) -> DataFrame:
     """Inner join of ``a`` × ``b`` on equal ``on`` keys and closed-
     interval overlap ``a_lo <= b_hi AND b_lo <= a_hi``.
@@ -81,18 +81,20 @@ def interval_join(
     (default) derives the grid size from the sampled median interval
     length (``auto_cell_width``) instead of trusting a constant.
 
-    ``prefer_shuffle_hash`` (default True) hints the ``a`` side as a
-    ShuffledHashJoin build: sorting both EXPLODED sides for a
+    ``prefer_shuffle_hash`` (default False — Spark's own size-based
+    join selection, including auto-broadcast of a tiny side, stays in
+    charge) optionally hints the ``a`` side as a ShuffledHashJoin
+    build: when BOTH exploded sides are large, sorting them for a
     sort-merge join is the dominant cost of the grid join (3.2 s vs
-    0.9 s measured at sf0.1) and buys nothing.  Two caveats the hint
-    carries: (1) a build TASK holds its whole shuffle partition — all
-    (keys, cell) groups hashed to it, roughly |exploded a| /
-    shuffle-partitions rows — so size ``spark.sql.shuffle.partitions``
-    for the ``a`` side (the hash build does not spill the way
-    sort-merge does); (2) the hint preempts Spark's size-based
-    auto-broadcast, so a caller with a tiny ``b`` side that would get
-    a zero-shuffle BroadcastHashJoin should pass False (or broadcast
-    explicitly).  Pass False to restore Spark's default selection.
+    0.9 s measured at sf0.1) and buys nothing — the bench/driver j1
+    path passes True for exactly that reason.  Two caveats the hint
+    carries (why it is opt-in): (1) a build TASK holds its whole
+    shuffle partition — all (keys, cell) groups hashed to it, roughly
+    |exploded a| / shuffle-partitions rows — so size
+    ``spark.sql.shuffle.partitions`` for the ``a`` side (the hash
+    build does not spill the way sort-merge does); (2) the hint
+    preempts Spark's size-based auto-broadcast, so a tiny ``b`` side
+    loses its zero-shuffle BroadcastHashJoin.
 
     NOTE: the autotune runs an eager aggregation job over both inputs
     at CALL time (the join itself stays lazy).  For expensive derived
