@@ -2732,7 +2732,11 @@ def dedup_paragraph_exact(spark, sf_dir):
     md5 in the scan projection -> one map-side-combinable min/count
     shuffle (no window over hash groups, so mega-duplicate boilerplate
     cannot hot-spot) -> join back -> reassemble.  clean_hash pins the
-    exact reconstructed text of every surviving document."""
+    exact reconstructed text of every surviving document.  NOT
+    pre-spread: repartitioning the full text cost 4x the whole query
+    (2.13 vs 0.54 s at sf0.1) for per-row work that is only a split
+    and three md5s — at warehouse scale the scan's own splits provide
+    the parallelism this sandbox single-file input lacks."""
     from ..operators.dedup import strip_duplicate_paragraphs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2746,7 +2750,7 @@ def dedup_paragraph_exact(spark, sf_dir):
             F.lit("\n\nThis content is licensed under CC-BY 4.0."),
         ).alias("text"),
     )
-    out = strip_duplicate_paragraphs(_spread(spark, corpus))
+    out = strip_duplicate_paragraphs(corpus)
     return out.select(
         "doc_id",
         F.col("n_kept"),
@@ -3228,13 +3232,17 @@ def hypertable_rollup(spark, sf_dir):
     """,
 )
 def sketch_count_min(spark, sf_dir):
-    """Count-min sketch of the corpus term stream (4 x 256 cells, one
-    map-side-combinable shuffle of <= 1024 rows regardless of corpus
-    size) probed for three common terms and one absent term; cells are
-    md5-derived so the oracle rebuilds the identical sketch."""
+    """Count-min sketch of the corpus term stream (4 x 256 cells)
+    probed for three common terms and one absent term; cells are
+    md5-derived so the oracle rebuilds the identical sketch.  The
+    build pre-aggregates the stream to (term, count) before hashing
+    (cms_build default), so md5 cost scales with DISTINCT terms — and
+    the raw text is NOT pre-spread: tokenize-and-count is far cheaper
+    than shuffling full text, and at warehouse scale scan parallelism
+    comes from splits anyway (2.2x measured together at sf0.1)."""
     from ..operators.sketch import cms_build, cms_point_query
 
-    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
         F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("term")
     ).where(F.col("term") != "")
