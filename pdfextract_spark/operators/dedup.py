@@ -650,6 +650,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation WITH pointer jumping: each round a node's
@@ -668,7 +669,10 @@ def connected_components(
     This closes the gap between candidate PAIRS and production dedup:
     picking one representative per duplicate CLUSTER (min id = the
     component label) requires the transitive closure, not pairs.
-    Returns (node, comp).  Each iteration is three bounded shuffles
+    Returns (node, comp); pass a ``stats`` dict to receive
+    ``{"rounds": n}`` (rounds run to the fixpoint — the scale-run
+    observable, since wall time is rounds x bounded-shuffle cost).
+    Each iteration is three bounded shuffles
     (neighbor propagate, pointer jump, re-minimize) on data sized by
     edges + nodes — the Kiveris-et-al. alternating-star algorithm is
     the next refinement if even log-diameter rounds are too many.
@@ -732,6 +736,8 @@ def connected_components(
             _release_fence(prev)
         prev = ckpt
         labels = ckpt.drop("_changed")
+        if stats is not None:
+            stats["rounds"] = i + 1
         if changed == 0:
             converged = True
             break
@@ -756,6 +762,7 @@ def near_dup_dedup(
     jaccard_threshold: float = 0.8,
     max_iter: int = 20,
     fence: bool = True,
+    stats: dict | None = None,
     **lsh_kw,
 ) -> DataFrame:
     """The full production near-dup pipeline as one operator:
@@ -810,9 +817,9 @@ def near_dup_dedup(
     verified = jaccard_pairs(
         canon, pairs, text_col, id_col, k=k, fence=fence
     ).where(F.col("jaccard") >= jaccard_threshold)
-    comp = connected_components(verified, "a", "b", max_iter=max_iter).select(
-        F.col("node").alias("_keep"), F.col("comp").alias("_comp")
-    )
+    comp = connected_components(
+        verified, "a", "b", max_iter=max_iter, stats=stats
+    ).select(F.col("node").alias("_keep"), F.col("comp").alias("_comp"))
     # canonicals with no verified edge keep themselves; members inherit
     # their canonical's cluster.  The component label is the min of the
     # participating canonical ids, and each canonical is the min of its

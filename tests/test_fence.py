@@ -117,9 +117,12 @@ def test_connected_components_releases_round_storage(spark):
     edges = [(i, i + 1) for i in range(60)] + [(100, 101), (200, 201)]
     df = spark.createDataFrame(edges, "a bigint, b bigint")
     with fence_scope(blocking=True):
-        out = dedup.connected_components(df, "a", "b")
+        stats = {}
+        out = dedup.connected_components(df, "a", "b", stats=stats)
         got = {r["node"]: r["comp"] for r in out.collect()}
         assert got[55] == 0 and got[101] == 100 and got[201] == 200
+        # pointer jumping: a 61-node path needs ~log2 rounds, not 61
+        assert 2 <= stats["rounds"] <= 10
         live = _ids(spark) - base
         assert len(live) <= 1, (
             f"loop retained {len(live)} checkpoints; only the final "

@@ -1,0 +1,241 @@
+"""Dedup-suite scale runs (round-4 evidence item): drive the composed
+near-dup pipeline and the LSH->verify->CC cluster pipeline at 8-16x
+the sf0.1 corpus, mirroring the extraction path's 640k-turn protocol.
+
+Corpus: the sf0.1 documents table mirrored M-fold — odd mirrors are
+EXACT copies (exercise the exact-collapse / mega-group path: each base
+doc becomes an exact group of size ceil(M/2)), even mirrors append a
+per-mirror suffix (near-dups that must pass LSH + Jaccard verify:
+ceil(M/2) distinct canonicals per base doc).  Structure checks (a scale
+run is also a correctness run): EXACT copies always share their base's
+cluster (deterministic — identical text means identical hash and
+identical MinHash signature), cluster sizes sum to the corpus, and the
+near-dup output has exactly one canonical per cluster — asserted
+strictly.  Near-dup mirrors attach probabilistically (a very short
+base doc's Jaccard vs its suffixed mirror falls below the 0.5 gate —
+~1% of sf docs), so their attach rate is asserted >= 0.98 and reported
+as a metric rather than required to be 1.0.
+
+Prints one JSON line per run:
+  {"query", "mult", "docs", "wall_sec", "docs_per_sec", "clusters",
+   "cc_rounds", "peak_rss_mb", "cores"}
+
+Usage: python tools/dedup_scale.py [near_dup|clusters] [mult] [cores]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, ROOT)
+
+
+def _peak_rss_mb() -> int:
+    """Peak RSS (VmHWM) of this process plus its live children — in
+    local mode the JVM holding every executor thread is a child, and
+    RUSAGE_CHILDREN only counts already-reaped children, so /proc is
+    the honest source."""
+    total = 0
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                st = f.read()
+            if pid != str(me):
+                ppid = int(st.split("PPid:\t")[1].split("\n")[0])
+                if ppid != me:
+                    continue
+            total += int(st.split("VmHWM:\t")[1].split(" kB")[0])
+        except (OSError, IndexError, ValueError):
+            continue
+    return total // 1024
+
+
+def build_corpus(spark, sf_dir: str, mult: int):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    parts = [docs]
+    for m in range(1, mult):
+        if m % 2 == 1:  # exact copy — collapses before LSH
+            t = F.col("text")
+        else:  # near-dup — must pass the Jaccard gate
+            t = F.concat(F.col("text"), F.lit(f" mirror variant {m}"))
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + m * 10_000_000).alias("doc_id"),
+                t.alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    # scale runs SHOULD spread: M x 5000 docs of shingle+md5 work is
+    # compute-dominant (unlike the sf0.1 bench where the text shuffle
+    # cost more than the query)
+    return out.repartition(spark.sparkContext.defaultParallelism * 2)
+
+
+def main() -> None:
+    query = sys.argv[1] if len(sys.argv) > 1 else "near_dup"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"dedup-scale-{query}-{mult}x")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pdfextract_spark.operators import dedup
+    from pdfextract_spark.operators.fence import fence_scope
+
+    corpus = build_corpus(spark, sf_dir, mult).cache()
+    n_docs = corpus.count()  # materialize input outside the timed window
+    n_base = corpus.where(F.col("doc_id") < 10_000_000).count()
+
+    stats: dict = {}
+    attach_rate = None
+    t0 = time.time()
+    with fence_scope():
+        if query == "near_dup":
+            out = dedup.near_dup_dedup(
+                corpus,
+                jaccard_threshold=0.5,
+                num_hashes=16,
+                band_size=4,
+                k=3,
+                stats=stats,
+            ).cache()
+        elif query == "clusters":
+            cand = dedup.lsh_candidate_pairs(
+                corpus, num_hashes=16, band_size=4, k=3
+            )
+            edges = dedup.jaccard_pairs(corpus, cand, k=3).where(
+                F.col("jaccard") >= 0.5
+            )
+            comp = dedup.connected_components(edges, stats=stats)
+            # pairwise path emits only docs with >= 1 verified edge;
+            # normalize to the near-dup output shape (absent docs keep
+            # themselves) so both flavors share the checks below
+            out = (
+                corpus.select("doc_id")
+                .join(comp, corpus["doc_id"] == comp["node"], "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("comp", F.col("doc_id")).alias("cluster"),
+                    (
+                        F.coalesce("comp", F.col("doc_id"))
+                        == F.col("doc_id")
+                    ).alias("is_canonical"),
+                )
+                .cache()
+            )
+        else:
+            raise SystemExit(f"unknown query {query!r}")
+
+        agg = out.groupBy("cluster").agg(
+            F.count("*").alias("size"),
+            F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+        )
+        res = agg.agg(
+            F.count("*").alias("clusters"),
+            F.sum("size").alias("sum_size"),
+            F.sum((F.col("n_canon") != 1).cast("int")).alias("bad_canon"),
+        ).head()
+        n_clusters = res["clusters"]
+
+        # deterministic invariant: every EXACT copy (odd mirror) shares
+        # its base's cluster
+        base_cl = out.where(F.col("doc_id") < 10_000_000).select(
+            F.col("doc_id").alias("base_id"),
+            F.col("cluster").alias("base_cluster"),
+        )
+        mirrors = out.where(F.col("doc_id") >= 10_000_000).select(
+            "doc_id",
+            "cluster",
+            F.pmod("doc_id", F.lit(10_000_000)).alias("base_id"),
+            (F.pmod(F.floor(F.col("doc_id") / 10_000_000), F.lit(2)) == 1)
+            .alias("is_exact"),
+        )
+        mj = mirrors.join(base_cl, "base_id").select(
+            "is_exact", (F.col("cluster") == F.col("base_cluster")).alias("att")
+        )
+        mres = mj.groupBy("is_exact").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("att").cast("int")).alias("n_att"),
+        ).collect()
+        exact_ok = all(
+            r["n_att"] == r["n"] for r in mres if r["is_exact"]
+        )
+        near_rows = [r for r in mres if not r["is_exact"]]
+        attach_rate = (
+            round(
+                sum(r["n_att"] for r in near_rows)
+                / max(sum(r["n"] for r in near_rows), 1),
+                4,
+            )
+            if near_rows
+            else 1.0
+        )
+        ok = (
+            n_clusters <= n_docs
+            and res["sum_size"] == n_docs
+            and res["bad_canon"] == 0
+            and exact_ok
+            and attach_rate >= 0.98
+        )
+        out.unpersist()
+    wall = time.time() - t0
+
+    rss_mb = _peak_rss_mb()
+    print(
+        json.dumps(
+            {
+                "query": query,
+                "mult": mult,
+                "docs": n_docs,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n_docs / wall, 1),
+                "clusters": n_clusters,
+                "near_attach_rate": attach_rate,
+                "structure_ok": bool(ok),
+                "cc_rounds": stats.get("rounds"),
+                "peak_rss_mb": rss_mb,
+                "cores": cores,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    if not ok:
+        raise SystemExit(
+            f"cluster structure check FAILED: {res.asDict() if res else None}"
+        )
+
+
+if __name__ == "__main__":
+    main()
