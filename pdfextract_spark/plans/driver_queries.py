@@ -3075,6 +3075,96 @@ def near_dup_dedup_q(spark, sf_dir):
     )
 
 
+@q(
+    "lsh_dedup_clusters",
+    f"""
+    WITH RECURSIVE corpus AS ({_CC_CORPUS_SQL}),
+    n AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, greatest(len(w) - 2, 1))] AS shingles
+      FROM n WHERE len(w) >= 3
+    ),
+    sig AS (
+      SELECT doc_id,
+             [list_min([substring(md5(s || '#' || (seed // 4)),
+                                  (seed % 4) * 8 + 1, 8)
+                        for s in shingles])
+              for seed in generate_series(0, 15)] AS mh
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(array_to_string(mh[band * 4 + 1 : band * 4 + 4], ','))
+               AS band_hash
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)
+    ),
+    hubs AS (
+      SELECT band, band_hash, min(doc_id) AS hub
+      FROM bands GROUP BY band, band_hash
+    ),
+    edges AS (
+      SELECT DISTINCT h.hub AS a, b.doc_id AS b
+      FROM bands b JOIN hubs h USING (band, band_hash)
+      WHERE b.doc_id > h.hub
+    ),
+    sym AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+      SELECT src AS node, least(src, min(dst)) AS comp
+      FROM reach GROUP BY src
+    )
+    SELECT node AS doc_id, comp AS cluster FROM comp
+    """,
+)
+def lsh_dedup_clusters_q(spark, sf_dir):
+    """The STAR-EDGE cluster path (operators/dedup.lsh_dedup_clusters):
+    per-bucket star edges (B-1 edges for a B-doc bucket, never B^2/2)
+    -> pointer-jumping connected components -> (doc, cluster).  Stars
+    preserve exactly the connectivity LSH asserts, so the recursive-CTE
+    oracle over the SAME star edges states the identical closure —
+    this gives the linear mega-bucket path its own driver correctness
+    row (it was previously evidenced only by composition + tests).
+    Docs sharing no band bucket with any other doc are absent
+    (singletons keep themselves by definition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionAll(
+            docs.where(F.col("doc_id") % 4 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" duplicated mirror copy")).alias(
+                    "text"
+                ),
+            )
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 8 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" duplicated mirror copy again")
+                ).alias("text"),
+            )
+        )
+    )
+    corpus = _spread(spark, corpus).where(
+        F.size(F.split(dedup.normalize_text(F.col("text")), " ")) >= 3
+    )
+    return dedup.lsh_dedup_clusters(
+        corpus, num_hashes=16, band_size=4, k=3
+    ).select("doc_id", "cluster")
+
+
 # =====================================================================
 # J6 (beyond-reference): as-of / point-in-time join
 # =====================================================================
@@ -3281,7 +3371,7 @@ def sketch_count_min(spark, sf_dir):
 #      full-battery artifact as evidence.
 _GRADE_PRIORITY = [
     # 1: new this round
-    "near_dup_dedup",
+    "near_dup_dedup", "lsh_dedup_clusters",
     # 2: latest driver row is r02
     "p1_empty_filter", "p3_w4_title_top1", "p7_p8_flex_threshold",
     "p9_regex_reject", "a1_exact_key_grouping", "a6_margins_minmax",
@@ -3302,7 +3392,6 @@ _GRADE_PRIORITY = [
     "ann_cosine_topk", "ann_cosine_topk_ivf", "j6_asof_join",
     "hypertable_rollup", "a12_kmeans_centers", "a13_svm_reference_score",
     "dedup_simhash", "quality_score", "lang_id_multi",
-    "w8_collapse_order",
 ]
 
 

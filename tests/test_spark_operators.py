@@ -917,6 +917,17 @@ def test_count_min_sketch_properties(spark):
     a = {(r["depth"], r["bucket"]): r["cnt"] for r in merged.collect()}
     b = {(r["depth"], r["bucket"]): r["cnt"] for r in sk.collect()}
     assert a == b
+    # the distinct-item pre-aggregation path (default) and the raw
+    # stream-hashing path build bit-identical sketches — cell counts
+    # are sums of occurrence weights either way
+    raw = cms_build(df, "term", depth=4, width=64, pre_aggregate=False)
+    c = {(r["depth"], r["bucket"]): r["cnt"] for r in raw.collect()}
+    assert c == b
+    # and a pre-weighted input (weight_col) is the same sketch again
+    tw = df.groupBy("term").agg(F.count("*").alias("w"))
+    ww = cms_build(tw, "term", depth=4, width=64, weight_col="w")
+    d = {(r["depth"], r["bucket"]): r["cnt"] for r in ww.collect()}
+    assert d == b
 
 
 def test_minhash_signature_and_fingerprint_columns(spark):
