@@ -78,9 +78,23 @@ REPRESENTATIVE = {
     "nested loop",
     "hypertable_rollup": "hour/day/total continuous aggregate in ONE "
     "pass: partial ROLLUP grouping sets inside a single shuffle",
-    "sketch_count_min": "count-min build: 2 md5s per item feed 4 "
-    "depth-cells (12-hex chunks, CSE'd in one projection); the only "
-    "shuffle carries <= depth*width aggregated rows",
+    "sketch_count_min": "count-min build: the item stream collapses to "
+    "(item, count) map-side BEFORE hashing (md5 cost scales with "
+    "distinct items, not occurrences); 2 md5s per distinct item feed 4 "
+    "depth-cells (12-hex chunks, CSE'd in one projection); the "
+    "<= depth*width sketch auto-broadcasts into the probe join",
+    # --- round 4 additions ---
+    "near_dup_dedup": "the composed near-dup pipeline's FINAL stage "
+    "(member re-attach): exact-group members hash-join their "
+    "canonical's cluster label — the earlier stages (collapse, LSH, "
+    "Jaccard, pointer-jumping CC) run eagerly behind checkpoint "
+    "fences, so this plan roots at the closure output; mega-buckets "
+    "of identical text never reach the pairwise stage",
+    "lsh_dedup_clusters": "star-edge cluster path: per-bucket "
+    "(min, count) aggregation emits B-1 edges per B-doc bucket — the "
+    "plan shows the hub agg + join back with NO window over the "
+    "bucket, so a mega-bucket partial-aggregates instead of "
+    "hot-spotting one task",
 }
 
 
