@@ -413,7 +413,8 @@ def test_pipeline_goldens_current(spark):
         for name in (
             "pipeline_references pipeline_titles pipeline_regions "
             "pipeline_metrics pipeline_sections pipeline_zones "
-            "pipeline_conv_rollup pipeline_resolved_references"
+            "pipeline_conv_rollup pipeline_resolved_references "
+            "pipeline_font_metrics pipeline_page_dims pipeline_masks"
         ).split():
             assert os.path.exists(f"{root}/goldens/pipeline/{sf}/{name}.parquet")
 

@@ -31,6 +31,9 @@ PIPELINE_QUERIES = (
     "pipeline_zones",
     "pipeline_conv_rollup",
     "pipeline_resolved_references",
+    "pipeline_font_metrics",
+    "pipeline_page_dims",
+    "pipeline_masks",
 )
 
 SFS = ("sf0.001", "sf0.01", "sf0.1")
