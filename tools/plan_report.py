@@ -95,6 +95,14 @@ REPRESENTATIVE = {
     "plan shows the hub agg + join back with NO window over the "
     "bucket, so a mega-bucket partial-aggregates instead of "
     "hot-spotting one task",
+    "pipeline_masks": "the mask sink renders SVGs inside the SAME "
+    "MapInArrow stage as the kernel (plans/masks.py): one narrow "
+    "stage over the scan, zero shuffles, no driver collection — the "
+    "sink inherits the extraction plan's perfectly parallel shape",
+    "p2_drop_spatial": "drop-spatial as column pruning: after the "
+    "regions explode only (conv_id, turn_idx, line_height, font) "
+    "survive the projection, so the spatial doubles are never "
+    "serialized past the kernel stage",
 }
 
 
