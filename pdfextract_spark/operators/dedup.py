@@ -747,6 +747,11 @@ def connected_components(
     # the call in fence_scope() to release it after consumption)
     _release_fence(sym)
     if not converged:
+        # the caller gets no frame back on this path, so the final
+        # round's checkpoint would otherwise leak with no release
+        # handle — free it before raising
+        if prev is not None:
+            _release_fence(prev)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"(a component's diameter exceeds max_iter); raise max_iter — "
@@ -779,7 +784,9 @@ def near_dup_dedup(
     docs too short to shingle at all, which a purely shingle-based
     pipeline would leave as singletons; mutually-distinct texts must
     additionally share an LSH bucket and pass the exact-Jaccard
-    threshold.
+    threshold.  NULL-text docs form one exact group of their own
+    (like exact_dedup's groupBy, where NULL hashes group together)
+    and never join a shingle-based cluster.
 
     Mega-bucket safety: the classic web-corpus failure mode — 10^6
     byte-identical boilerplate pages landing in one LSH band bucket
@@ -795,23 +802,44 @@ def near_dup_dedup(
     hub-member pairs would be verified); run ``lsh_star_edges`` for
     its ``bucket_size`` diagnostic when that distribution is in doubt.
 
-    Storage lifetime: the sub-operators fence their self-joined
-    intermediates (band + shingle tables) — wrap the call in
-    ``fence.fence_scope()`` to release those blocks after consuming
-    the result, or pass ``fence=False`` for pure lineage."""
+    Storage lifetime: the exact-group table (one narrow row per
+    DISTINCT text — the deduped corpus, small exactly where this
+    operator matters) is fenced here, and the sub-operators fence
+    their self-joined intermediates (band + shingle tables) — wrap
+    the call in ``fence.fence_scope()`` to release those blocks after
+    consuming the result, or pass ``fence=False`` for pure lineage."""
     k = lsh_kw.get("k", 3)
+    # NULL-safe group key: md5(NULL) is NULL, and a NULL key would
+    # survive the groupBy but never match the equi-join below — the
+    # NULL-text docs would silently vanish from the output.  "null" is
+    # not a 32-hex md5, so the sentinel cannot collide; all NULL-text
+    # docs form one exact group (mirroring exact_dedup's groupBy-NULL
+    # semantics) whose canonical carries NULL text and therefore
+    # shingles to nothing — a singleton cluster.
     withh = df.select(
-        F.col(id_col), F.col(text_col), text_hash(F.col(text_col)).alias("_th")
+        F.col(id_col),
+        F.col(text_col),
+        F.coalesce(text_hash(F.col(text_col)), F.lit("null")).alias("_th"),
     )
-    groups = withh.groupBy("_th").agg(F.min(id_col).alias("_keep"))
+    # one aggregation carries BOTH the canonical id and its text
+    # (min_by: deterministic, ids are unique), so the corpus is
+    # scanned twice total (groups, members) instead of four times —
+    # and the fence stops the groups scan+shuffle from re-running for
+    # its two consumers (the CollapseProject re-evaluation trap).
+    groups = withh.groupBy("_th").agg(
+        F.min(id_col).alias("_keep"),
+        F.min_by(text_col, id_col).alias("_ktext"),
+    )
+    if fence:
+        groups = _fence(groups)
     # (doc, canonical-of-its-exact-group); the join key is the 32-hex
     # text hash with ONE build row per key, so even a 10^6-member
     # exact group is a streaming probe, not an explosion
-    members = withh.select(F.col(id_col), "_th").join(groups, "_th")
-    canon = (
-        withh.join(groups, "_th")
-        .where(F.col(id_col) == F.col("_keep"))
-        .select(F.col(id_col), F.col(text_col))
+    members = withh.select(F.col(id_col), "_th").join(
+        groups.select("_th", "_keep"), "_th"
+    )
+    canon = groups.select(
+        F.col("_keep").alias(id_col), F.col("_ktext").alias(text_col)
     )
     pairs = lsh_candidate_pairs(canon, text_col, id_col, fence=fence, **lsh_kw)
     verified = jaccard_pairs(

@@ -74,14 +74,21 @@ def fence(df: DataFrame, eager: bool = False) -> DataFrame:
     right for iterative loops that must truncate lineage each round.
     """
     sc = df.sparkSession.sparkContext
+    # the lock guards only the id-diff around the (lazy) checkpoint
+    # CALL — the RDD registers in getPersistentRDDs at call time.
+    # Materialization for eager=True runs OUTSIDE the lock: it is a
+    # full Spark job, and holding the module lock across it would
+    # serialize every concurrent fenced operator in the driver.
     with _lock:
         before = _persistent_ids(sc)
-        ck = df.localCheckpoint(eager=eager)
+        ck = df.localCheckpoint(eager=False)
         new_ids = _persistent_ids(sc) - before
     setattr(ck, _FENCE_ATTR, new_ids)
     stack = getattr(_scopes, "stack", None)
     if stack:
         stack[-1].append(ck)
+    if eager:
+        ck.count()  # materialize the checkpoint blocks now
     return ck
 
 

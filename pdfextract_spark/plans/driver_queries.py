@@ -3354,11 +3354,13 @@ def pipeline_font_metrics(spark, sf_dir):
     AFM-style per-glyph width table (core/fontmetrics.py: integer
     milli-em units x size / 1000), so the min/max width spread per
     font reflects the proportional metrics and heights pin the face
-    sizes.  total_advance sums 2-dp-rounded widths into a ~7-digit
-    value, so double accumulation error (~1e-9) is far inside the 2-dp
-    re-round; sums of exact 0.01 multiples never sit on a .005
-    midpoint.  Exploding the characters artifact also drives S2
-    end-to-end at driver grade."""
+    sizes.  total_advance is summed in FIXED POINT (centi-points as
+    bigint, divided once at the end): the rendered widths are exact
+    2-dp values, so the integer sum is order-independent and the
+    single final division is deterministic — a double F.sum over
+    millions of glyphs would accumulate partition-order-dependent
+    error and could flip the 2-dp golden.  Exploding the characters
+    artifact also drives S2 end-to-end at driver grade."""
     from .extract import extract
 
     res = extract(_transcripts(spark, sf_dir), want=("characters",))
@@ -3370,7 +3372,9 @@ def pipeline_font_metrics(spark, sf_dir):
         F.max("c.width").alias("max_width"),
         F.min("c.height").alias("min_height"),
         F.max("c.height").alias("max_height"),
-        F.round(F.sum("c.width"), 2).alias("total_advance"),
+        (
+            F.sum(F.round(F.col("c.width") * 100).cast("bigint")) / 100.0
+        ).alias("total_advance"),
     )
 
 
@@ -3465,7 +3469,7 @@ def p2_drop_spatial(spark, sf_dir):
 # harness).  The rotation lives in grade_ordered(), applied by the
 # driver-contract layer (__spark_entry__.queries()/oracle_sql()), and
 # every rotation round is paired with a committed full-battery
-# artifact (tools/check_oracle.py over all 73 at 3 SFs — see
+# artifact (tools/check_oracle.py over all 79 at 3 SFs — see
 # BASELINE.md) so rotated-out queries keep fresh non-driver evidence.
 #
 # Round-4 window, in order:

@@ -44,15 +44,10 @@ MASK_SCHEMA = StructType(
     ]
 )
 
-_KERNEL_WANT = {
-    "regions": "regions",
-    "zones": "zones",
-    "columns": "columns",
-    "margins": "margins",
-    "chunks": "chunks",
-    "characters": "characters",
-    "sections": "sections",
-}
+_VALID_TYPES = frozenset(
+    ("regions", "zones", "columns", "margins", "chunks", "characters",
+     "sections")
+)
 
 
 def extract_masks(
@@ -68,10 +63,10 @@ def extract_masks(
     ``with_svg=False`` drops the SVG body column (fingerprint only) for
     pipelines that audit masks at scale without storing them.
     """
-    unknown = [t for t in types if t not in _KERNEL_WANT]
+    unknown = [t for t in types if t not in _VALID_TYPES]
     if unknown:
         raise ValueError(f"unknown mask types: {unknown}")
-    kernel_want = tuple(_KERNEL_WANT[t] for t in types)
+    kernel_want = tuple(types)
 
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema

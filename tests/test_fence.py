@@ -207,3 +207,27 @@ def test_near_dup_dedup_identical_short_docs_cluster(spark):
         ).collect()
     }
     assert out == {1: (1, True), 2: (1, False), 3: (3, True)}
+
+
+def test_near_dup_dedup_null_text_docs_survive(spark):
+    """NULL-text docs must not vanish: md5(NULL) is NULL, and a NULL
+    group key survives the groupBy but never matches the member/canon
+    equi-joins — the null-safe sentinel key keeps one row per input
+    doc, with all NULL-text docs forming one exact group that never
+    joins a shingle cluster."""
+    df = spark.createDataFrame(
+        [(1, "some real document text here today"),
+         (2, None), (3, None), (4, "")],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.near_dup_dedup(
+        df, jaccard_threshold=0.5, num_hashes=8, band_size=4, k=3
+    ).collect()
+    assert len(rows) == 4  # one row per input doc, none dropped
+    out = {r["doc_id"]: (r["cluster"], r["is_canonical"]) for r in rows}
+    # NULL-text docs are one exact group, canonical = min id
+    assert out[2] == (2, True)
+    assert out[3] == (2, False)
+    # empty string is its OWN group (distinct from NULL)
+    assert out[4] == (4, True)
+    assert out[1] == (1, True)

@@ -69,7 +69,6 @@ def test_font_metrics_match_afm_table(spark):
     AFM-style table for the glyphs actually typeset, and heights pin
     the declared face sizes."""
     from pdfextract_spark.core.fontmetrics import width_units
-    from pdfextract_spark.plans.driver_queries import QUERIES
     from pdfextract_spark.settings import DEFAULT
 
     # reuse the driver query's shape over a local transcript table

@@ -94,15 +94,20 @@ def main():
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    from pdfextract_spark.operators.fence import fence_scope
+
     n_pass = n_fail = n_rows_only = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # fenced operators release their checkpoint storage per
+            # query — a 79-query battery must not accumulate blocks
+            with fence_scope():
+                sdf = fn(spark, sf_dir)
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
