@@ -645,6 +645,169 @@ def strip_duplicate_paragraphs(
     )
 
 
+def _gram_hashes(col: Column, n: int) -> Column:
+    """array<string>: md5 hex of each n-token window of the normalized
+    text (token = whitespace-split word).  transform over an index
+    sequence keeps the windowing JVM-side; the 128-bit md5 keeps the
+    corpus-wide group key collision-free at 10^12-gram scale (a 48-bit
+    truncation would birthday-collide long before that) and is
+    reproducible in any SQL engine with md5."""
+    words = F.split(normalize_text(F.coalesce(col, F.lit(""))), " ")
+    sz = F.size(words)
+    idx = F.sequence(F.lit(1), sz - n + 1)
+    return F.when(sz < n, F.array()).otherwise(
+        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))))
+    )
+
+
+def substring_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    min_count: int = 2,
+    min_docs: int = 1,
+    fence: bool = True,
+) -> DataFrame:
+    """Exact substring (duplicated n-gram span) dedup, the
+    suffix-array dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") re-expressed relationally:
+    every token position whose n-gram occurs >= ``min_count`` times in
+    the corpus (across >= ``min_docs`` distinct documents) is a
+    duplicated seed; overlapping/adjacent seed windows merge into
+    maximal half-open token spans ``[span_lo, span_hi)`` per document
+    (plus ``n_seeds``, the seed count the span absorbed).
+
+    The token domain is the NORMALIZED text (lowercase, collapsed
+    whitespace) — the same canonical form every other dedup operator
+    here hashes.
+
+    Scale shape: the token-position fan-out is inherent to
+    position-level dedup (a suffix array is O(tokens) too), but
+    nothing here is quadratic: the corpus-wide seed count is ONE
+    shuffle on the uniform 128-bit gram hash, split into a
+    (gram, doc) partial layer then a (gram) layer so a boilerplate
+    gram repeated 10^9 times map-side-combines at both levels instead
+    of hot-spotting a task; the duplicated-gram set joins back to the
+    seed table as a hash equi-join (1:1 per seed, no expansion); the
+    span merge is a per-document window bounded by document length.
+    The seed table feeds both the count and the join back, so it is
+    checkpoint-fenced once (``fence=False`` opts out for streaming /
+    fault-tolerant callers — see operators/fence.py for the
+    trade-off)."""
+    from .intervals import merge_intervals
+
+    seeds = df.select(
+        F.col(id_col),
+        F.posexplode(_gram_hashes(F.col(text_col), n)).alias("_pos", "_gh"),
+    )
+    if fence:
+        seeds = _fence(seeds)
+    per_doc = seeds.groupBy("_gh", id_col).agg(F.count("*").alias("_c"))
+    gram_stats = per_doc.groupBy("_gh").agg(
+        F.sum("_c").alias("_n_occ"), F.count("*").alias("_n_docs")
+    )
+    dup = gram_stats.where(
+        (F.col("_n_occ") >= min_count) & (F.col("_n_docs") >= min_docs)
+    ).select("_gh")
+    hits = seeds.join(dup, "_gh").select(
+        id_col,
+        F.col("_pos").cast("bigint").alias("span_lo"),
+        (F.col("_pos") + n).cast("bigint").alias("span_hi"),
+    )
+    return merge_intervals(
+        hits, [id_col], "span_lo", "span_hi", count_col="n_seeds"
+    )
+
+
+def substring_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    min_count: int = 2,
+    min_docs: int = 1,
+    fence: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-token accounting over
+    ``substring_duplicate_spans``: (id, n_tokens, dup_tokens, n_spans,
+    dup_ratio).  Every input document appears (zero-span docs report
+    0 / 0.0) — the row a corpus-curation dashboard filters on."""
+    spans = substring_duplicate_spans(
+        df, text_col, id_col, n, min_count, min_docs, fence=fence
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_hi") - F.col("span_lo")).alias("dup_tokens"),
+        F.count("*").alias("n_spans"),
+    )
+    norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    docs = df.select(
+        F.col(id_col),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    joined = docs.join(per_doc, id_col, "left")
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint")
+    return joined.select(
+        id_col,
+        "n_tokens",
+        dup_tokens.alias("dup_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0, dup_tokens / F.col("n_tokens")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    min_count: int = 2,
+    min_docs: int = 1,
+    fence: bool = True,
+) -> DataFrame:
+    """Documents with every duplicated span removed (the paper's
+    "drop both copies" policy — no global canonical-occurrence pick,
+    so the rewrite stays embarrassingly parallel per document after
+    the span join).  Output text is the normalized token stream minus
+    covered positions; ``clean_text`` is '' for fully-duplicated
+    documents (every row is preserved — filtering is the caller's
+    policy decision)."""
+    spans = substring_duplicate_spans(
+        df, text_col, id_col, n, min_count, min_docs, fence=fence
+    )
+    span_arrs = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_lo", "span_hi")).alias("_spans")
+    )
+    norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    tokens = F.when(norm == "", F.array()).otherwise(F.split(norm, " "))
+    docs = df.select(F.col(id_col), tokens.alias("_toks"))
+    joined = docs.join(span_arrs, id_col, "left")
+    # covered-position test: spans per doc are few (merged, disjoint),
+    # so the exists() scan is cheap relative to tokenization
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            F.col("_toks"),
+            lambda t, i: ~F.exists(
+                F.col("_spans"),
+                lambda s: (i >= s["span_lo"]) & (i < s["span_hi"]),
+            ),
+        )
+    )
+    return joined.select(
+        id_col,
+        F.size(F.col("_toks")).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "a",

@@ -19,8 +19,11 @@ def merge_intervals(
     part_cols: list[str],
     lo: str,
     hi: str,
+    count_col: str | None = None,
 ) -> DataFrame:
-    """-> one row per merged (union) interval with ``lo``/``hi``."""
+    """-> one row per merged (union) interval with ``lo``/``hi``
+    (plus, when ``count_col`` is given, the number of source intervals
+    the island absorbed under that name)."""
     # project to just the needed columns: prunes the scan at scale and
     # guarantees the internal _rn/_new names cannot collide with
     # caller columns
@@ -53,9 +56,12 @@ def merge_intervals(
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    aggs = [F.min(lo).alias(lo), F.max(hi).alias(hi)]
+    if count_col is not None:
+        aggs.append(F.count("*").alias(count_col))
     return (
         flagged.groupBy(*part_cols, "_island")
-        .agg(F.min(lo).alias(lo), F.max(hi).alias(hi))
+        .agg(*aggs)
         .drop("_island")
     )
 

@@ -3075,6 +3075,191 @@ def near_dup_dedup_q(spark, sf_dir):
     )
 
 
+# Substring-span dedup corpus: each document's tokens are salted with
+# its doc_id (killing accidental cross-doc n-gram collisions), then
+# fixed snippets are planted — S3 mid-document in every 7th doc, S1/S2
+# wrapped around every 3rd — so the expected output has a KNOWN
+# multi-island structure: %3 docs get two disjoint spans (prefix +
+# suffix), %21 docs three, everything else zero unless the document
+# repeats its own 8-gram (within-doc duplication counts, by design).
+_SS_S1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+_SS_S2 = "one two three four five six seven eight nine ten"
+_SS_S3 = "red orange yellow green blue indigo violet umber sable jade"
+
+_SS_CORPUS_SQL = f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '{_SS_S1} ' || body || ' {_SS_S2}'
+                  ELSE body END AS text
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN array_to_string(salted[1:half], ' ')
+                         || ' {_SS_S3} '
+                         || array_to_string(salted[half+1:len(salted)], ' ')
+                    ELSE array_to_string(salted, ' ') END AS body
+        FROM (
+          SELECT doc_id,
+                 [t || '_' || doc_id
+                  for t in string_split({_NORM_SQL}, ' ')] AS salted,
+                 len(string_split({_NORM_SQL}, ' ')) // 2 AS half
+          FROM documents
+        )
+      )
+"""
+
+# The shared seed->dup->merged-islands pipeline over a corpus CTE named
+# ``corpus`` (re-normalized first: the builders above can emit double
+# spaces at empty slice boundaries, exactly like their Spark twins).
+_SS_SPANS_SQL = """
+    nw AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')), ' ') AS w
+      FROM corpus
+    ),
+    g0 AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 8 THEN []
+                  ELSE [{'p': i - 1,
+                         'g': md5(array_to_string(w[i:i+7], ' '))}
+                        for i in generate_series(1, len(w) - 7)] END AS prs
+      FROM nw
+    ),
+    g AS (SELECT doc_id, unnest(prs, recursive := true) FROM g0),
+    dup AS (SELECT g AS gh FROM g GROUP BY g HAVING count(*) >= 2),
+    seeds AS (SELECT g.doc_id, g.p AS pos FROM g JOIN dup ON g.g = dup.gh),
+    flag AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS nw_
+      FROM seeds
+    ),
+    isl AS (
+      SELECT doc_id, pos, sum(nw_) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flag
+    ),
+    spans AS (
+      SELECT doc_id, min(pos)::BIGINT AS span_lo,
+             max(pos + 8)::BIGINT AS span_hi, count(*)::BIGINT AS n_seeds
+      FROM isl GROUP BY doc_id, island
+    )
+"""
+
+
+@q(
+    "dedup_substring_spans",
+    f"""
+    WITH corpus AS ({_SS_CORPUS_SQL}),
+    {_SS_SPANS_SQL}
+    SELECT doc_id, span_lo, span_hi, n_seeds FROM spans
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2022 re-expressed
+    relationally, operators/dedup.substring_duplicate_spans): every
+    token position whose 8-gram occurs twice anywhere in the corpus is
+    a seed; overlapping/adjacent seeds merge into maximal half-open
+    spans.  The salted+planted corpus (see _SS_CORPUS_SQL) pins a
+    known multi-island structure — prefix+suffix spans on every 3rd
+    doc, a mid-document island on every 7th — so the value hash
+    verifies seed detection, cross-doc counting, AND the per-doc
+    interval merge, not just row counts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(dedup.normalize_text(F.col("text")), " ")
+    salted = F.transform(
+        w, lambda t: F.concat(t, F.lit("_"), F.col("doc_id").cast("string"))
+    )
+    sz = F.size(salted)
+    half = (sz / 2).cast("int")
+    mid = F.concat_ws(
+        " ",
+        F.concat_ws(" ", F.slice(salted, 1, half)),
+        F.lit(_SS_S3),
+        F.concat_ws(" ", F.slice(salted, half + 1, sz - half)),
+    )
+    body = F.when(F.col("doc_id") % 7 == 0, mid).otherwise(
+        F.concat_ws(" ", salted)
+    )
+    text = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat_ws(" ", F.lit(_SS_S1), body, F.lit(_SS_S2)),
+    ).otherwise(body)
+    corpus = _spread(spark, docs.select("doc_id", text.alias("text")))
+    return dedup.substring_duplicate_spans(corpus, n=8, min_count=2)
+
+
+@q(
+    "dedup_substring_stats",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    {_SS_SPANS_SQL},
+    agg AS (
+      SELECT doc_id, sum(span_hi - span_lo)::BIGINT AS dup_tokens,
+             count(*)::BIGINT AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT nw.doc_id,
+           (CASE WHEN array_to_string(w, '') = '' THEN 0
+                 ELSE len(w) END)::BIGINT AS n_tokens,
+           coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+           coalesce(n_spans, 0)::BIGINT AS n_spans,
+           round(CASE WHEN len(w) > 0 AND array_to_string(w, '') <> ''
+                 THEN coalesce(dup_tokens, 0) * 1.0 / len(w)
+                 ELSE 0.0 END, 6) AS dup_ratio
+    FROM nw LEFT JOIN agg ON nw.doc_id = agg.doc_id
+    """,
+)
+def dedup_substring_stats(spark, sf_dir):
+    """Per-document duplicated-token accounting over the RAW documents
+    table at n=8 (natural small-vocabulary duplication): dup_tokens /
+    n_tokens / n_spans / dup_ratio, one row per input document
+    including zero-span ones — the curation-dashboard row."""
+    docs = _spread(
+        spark, load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
+    return dedup.substring_dedup_stats(docs, n=8, min_count=2)
+
+
+@q(
+    "dedup_substring_strip",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    {_SS_SPANS_SQL},
+    sp AS (
+      SELECT doc_id,
+             list({{'lo': span_lo, 'hi': span_hi}}) AS sl
+      FROM spans GROUP BY doc_id
+    )
+    SELECT nw.doc_id,
+           (CASE WHEN array_to_string(w, '') = '' THEN 0
+                 ELSE len(w) END)::BIGINT AS n_tokens,
+           CASE WHEN array_to_string(w, '') = '' THEN ''
+                ELSE coalesce(array_to_string(
+             list_filter(w, (x, i) -> sp.sl IS NULL OR
+               len(list_filter(sp.sl,
+                   s -> (i - 1) >= s.lo AND (i - 1) < s.hi)) = 0),
+             ' '), '') END AS clean_text
+    FROM nw LEFT JOIN sp ON nw.doc_id = sp.doc_id
+    """,
+)
+def dedup_substring_strip(spark, sf_dir):
+    """The rewrite stage (operators/dedup.strip_duplicate_spans):
+    normalized token stream minus every duplicated span ("drop both
+    copies" — no global canonical pick, so the rewrite stays
+    per-document-parallel).  clean_text itself is in the value hash:
+    the oracle rebuilds it with an index-lambda filter over the same
+    merged spans."""
+    docs = _spread(
+        spark, load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
+    return dedup.strip_duplicate_spans(docs, n=8, min_count=2)
+
+
 @q(
     "lsh_dedup_clusters",
     f"""
@@ -3486,6 +3671,8 @@ _GRADE_PRIORITY = [
     # 1: new this round (near-dup composition + the five SURVEY rows
     #    that previously had no driver query: S3/S4/S6/S8/P2)
     "near_dup_dedup", "lsh_dedup_clusters",
+    "dedup_substring_spans", "dedup_substring_stats",
+    "dedup_substring_strip",
     "pipeline_font_metrics", "pipeline_page_dims", "pipeline_masks",
     "s8_projection_parity", "p2_drop_spatial",
     # 2: latest driver row is r02
@@ -3505,12 +3692,12 @@ _GRADE_PRIORITY = [
     "pipeline_references", "pipeline_titles", "pipeline_regions",
     "pipeline_metrics", "pipeline_sections", "pipeline_zones",
     "pipeline_conv_rollup", "pipeline_resolved_references",
-    "ann_cosine_topk", "ann_cosine_topk_ivf", "j6_asof_join",
-    "hypertable_rollup",
-    # dropped to fit the 50-slot window (all five earned first driver
-    # rows in r03 and keep full-battery evidence): a12_kmeans_centers,
-    # a13_svm_reference_score, dedup_simhash, quality_score,
-    # lang_id_multi
+    "ann_cosine_topk_ivf",
+    # dropped to fit the 50-slot window (all earned driver rows in r03
+    # and keep full-battery evidence via tools/check_oracle.py):
+    # a12_kmeans_centers, a13_svm_reference_score, dedup_simhash,
+    # quality_score, lang_id_multi, ann_cosine_topk, j6_asof_join,
+    # hypertable_rollup
 ]
 
 

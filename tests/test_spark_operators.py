@@ -1234,3 +1234,55 @@ def test_near_dup_dedup_end_to_end_matches_brute_force(spark):
     # is deterministic), so exact equality is a stable assertion.
     assert out == want
     assert sum(1 for c, canon in out.values() if canon) == len(roots)
+
+
+def test_substring_span_dedup(spark):
+    """Exact substring (duplicated n-gram span) dedup at n=4: a
+    5-token run shared by docs 1 and 2 (case/whitespace-normalized on
+    both sides) yields one merged span per doc covering exactly the
+    run; a within-doc repeat whose seed windows chain end-to-end
+    merges into one full-coverage span; sub-n docs and NULL text
+    produce zero spans but keep their stats/strip rows."""
+    from pdfextract_spark.operators.dedup import (
+        strip_duplicate_spans,
+        substring_dedup_stats,
+        substring_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e u1 u2 u3"),
+            (2, "v1 v2 A  B c D e"),  # normalization → same run
+            (3, "w1 w2 w3"),  # shorter than n: no grams
+            (4, None),
+            (5, "p q r s t p q r s t"),  # within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_lo"]): r
+        for r in substring_duplicate_spans(df, n=4).collect()
+    }
+    # docs 1/2: seeds at the two 4-grams of the shared 5-token run,
+    # merged into one span over the run
+    assert spans[(1, 0)]["span_hi"] == 5 and spans[(1, 0)]["n_seeds"] == 2
+    assert spans[(2, 2)]["span_hi"] == 7 and spans[(2, 2)]["n_seeds"] == 2
+    # doc 5: dup grams at positions 0,1,5,6; [1,5) touches [5,9) so
+    # the chain merges into a single full-coverage span
+    assert spans[(5, 0)]["span_hi"] == 10 and spans[(5, 0)]["n_seeds"] == 4
+    assert len(spans) == 3
+
+    stats = {r["doc_id"]: r for r in substring_dedup_stats(df, n=4).collect()}
+    assert len(stats) == 5  # every input doc reports, zero-span included
+    assert (stats[1]["n_tokens"], stats[1]["dup_tokens"]) == (8, 5)
+    assert abs(stats[1]["dup_ratio"] - 0.625) < 1e-9
+    assert (stats[3]["dup_tokens"], stats[3]["n_spans"]) == (0, 0)
+    assert (stats[4]["n_tokens"], stats[4]["dup_ratio"]) == (0, 0.0)
+    assert stats[5]["dup_ratio"] == 1.0 and stats[5]["n_spans"] == 1
+
+    clean = {r["doc_id"]: r for r in strip_duplicate_spans(df, n=4).collect()}
+    assert clean[1]["clean_text"] == "u1 u2 u3"
+    assert clean[2]["clean_text"] == "v1 v2"
+    assert clean[3]["clean_text"] == "w1 w2 w3"
+    assert clean[4]["clean_text"] == ""
+    assert clean[5]["clean_text"] == ""  # fully duplicated, row kept
