@@ -20,7 +20,10 @@ Prints one JSON line per run:
   {"query", "mult", "docs", "wall_sec", "docs_per_sec", "clusters",
    "cc_rounds", "peak_rss_mb", "cores"}
 
-Usage: python tools/dedup_scale.py [near_dup|clusters] [mult] [cores]
+Usage: python tools/dedup_scale.py [near_dup|clusters|substring] [mult] [cores]
+
+The ``substring`` mode runs substring-span dedup (n=8) with its own
+per-class full-coverage invariant — see ``_run_substring``.
 """
 
 from __future__ import annotations
@@ -84,6 +87,86 @@ def build_corpus(spark, sf_dir: str, mult: int):
     return out.repartition(spark.sparkContext.defaultParallelism * 2)
 
 
+def _run_substring(spark, corpus, n_docs, mult, cores, sf_dir) -> None:
+    """Substring-span dedup (operators/dedup.substring_dedup_stats,
+    n=8) at M x the sf corpus.  The mirrored corpus pins a STRICT
+    per-class invariant (every sf doc has >= 10 tokens, so every
+    class qualifies at n=8):
+
+    - exact class (base + odd mirrors): every 8-gram occurs in >= 2
+      docs by construction, so the whole token stream is ONE
+      full-coverage span — dup_tokens == n_tokens, n_spans == 1.
+    - near class (even mirrors, text + 3-token suffix): the body is
+      fully covered via the base copies, and any covered boundary
+      position extends the SAME island (the suffix is shorter than
+      the gram, so the last possible seed starts before the body
+      end) — n_spans == 1, n_tokens - 3 <= dup_tokens <= n_tokens.
+
+    Violating ANY row fails the run: the scale run is also a
+    correctness run, mirroring the cluster-path protocol above."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pdfextract_spark.operators import dedup
+    from pdfextract_spark.operators.fence import fence_scope
+
+    t0 = _time.time()
+    with fence_scope():
+        st = dedup.substring_dedup_stats(corpus, n=8).cache()
+        is_near = (
+            (F.col("doc_id") >= 10_000_000)
+            & (F.pmod(F.floor(F.col("doc_id") / 10_000_000), F.lit(2)) == 0)
+        )
+        bad_exact = (
+            ~is_near
+            & ((F.col("dup_tokens") != F.col("n_tokens"))
+               | (F.col("n_spans") != 1))
+        )
+        bad_near = is_near & (
+            (F.col("n_spans") != 1)
+            | (F.col("dup_tokens") > F.col("n_tokens"))
+            | (F.col("dup_tokens") < F.col("n_tokens") - 3)
+        )
+        agg = st.agg(
+            F.count("*").alias("rows"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("dup_tokens").alias("dup_tokens"),
+            F.sum("n_spans").alias("spans"),
+            F.sum(bad_exact.cast("int")).alias("bad_exact"),
+            F.sum(bad_near.cast("int")).alias("bad_near"),
+        ).head()
+        st.unpersist()
+    wall = _time.time() - t0
+    ok = (
+        agg["rows"] == n_docs
+        and (mult < 2 or (agg["bad_exact"] == 0 and agg["bad_near"] == 0))
+    )
+    print(
+        json.dumps(
+            {
+                "query": "substring",
+                "mult": mult,
+                "docs": n_docs,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n_docs / wall, 1),
+                "tokens_per_sec": round(agg["tokens"] / wall, 1),
+                "tokens": agg["tokens"],
+                "dup_tokens": agg["dup_tokens"],
+                "spans": agg["spans"],
+                "structure_ok": bool(ok),
+                "peak_rss_mb": _peak_rss_mb(),
+                "cores": cores,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    if not ok:
+        raise SystemExit(
+            f"substring structure check FAILED: {agg.asDict()}"
+        )
+
+
 def main() -> None:
     query = sys.argv[1] if len(sys.argv) > 1 else "near_dup"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -117,6 +200,10 @@ def main() -> None:
     corpus = build_corpus(spark, sf_dir, mult).cache()
     n_docs = corpus.count()  # materialize input outside the timed window
     n_base = corpus.where(F.col("doc_id") < 10_000_000).count()
+
+    if query == "substring":
+        _run_substring(spark, corpus, n_docs, mult, cores, sf_dir)
+        return
 
     stats: dict = {}
     attach_rate = None
