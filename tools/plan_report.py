@@ -103,6 +103,17 @@ REPRESENTATIVE = {
     "regions explode only (conv_id, turn_idx, line_height, font) "
     "survive the projection, so the spatial doubles are never "
     "serialized past the kernel stage",
+    "dedup_substring_stats": "substring-span dedup: the n-gram md5 "
+    "windowing is a codegen'd higher-order transform in the scan "
+    "projection; corpus-wide gram counting is TWO-level partial "
+    "aggregation ((gram, doc) then gram) so a boilerplate gram "
+    "repeated 10^9 times map-side-combines at both levels instead of "
+    "hot-spotting one task; the dup-gram set hash-equi-joins back to "
+    "the seed table (1:1 per seed, no expansion) and the island merge "
+    "is one per-document window — NOTE: the seed table is "
+    "checkpoint-fenced (feeds both the count and the join back), so "
+    "the plan roots at Scan ExistingRDD and the scan-stage evidence "
+    "lives in the pre-fence projection",
 }
 
 
