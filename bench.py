@@ -89,6 +89,7 @@ BENCH_QUERIES_R3 = [
 # components -> re-attach), new driver query this round.
 BENCH_QUERIES_R4 = [
     "near_dup_dedup",
+    "dedup_substring_stats",
 ]
 
 

@@ -685,10 +685,11 @@ def substring_duplicate_spans(
     Scale shape: the token-position fan-out is inherent to
     position-level dedup (a suffix array is O(tokens) too), but
     nothing here is quadratic: the corpus-wide seed count is ONE
-    shuffle on the uniform 128-bit gram hash, split into a
-    (gram, doc) partial layer then a (gram) layer so a boilerplate
-    gram repeated 10^9 times map-side-combines at both levels instead
-    of hot-spotting a task; the duplicated-gram set joins back to the
+    map-side-combinable shuffle on the uniform 128-bit gram hash (a
+    boilerplate gram repeated 10^9 times partial-aggregates instead
+    of hot-spotting a task); when ``min_docs > 1`` it splits into a
+    (gram, doc) layer then a (gram) layer — same combine property at
+    both levels; the duplicated-gram set joins back to the
     seed table as a hash equi-join (1:1 per seed, no expansion); the
     span merge is a per-document window bounded by document length.
     The seed table feeds both the count and the join back, so it is
@@ -703,13 +704,26 @@ def substring_duplicate_spans(
     )
     if fence:
         seeds = _fence(seeds)
-    per_doc = seeds.groupBy("_gh", id_col).agg(F.count("*").alias("_c"))
-    gram_stats = per_doc.groupBy("_gh").agg(
-        F.sum("_c").alias("_n_occ"), F.count("*").alias("_n_docs")
-    )
-    dup = gram_stats.where(
-        (F.col("_n_occ") >= min_count) & (F.col("_n_docs") >= min_docs)
-    ).select("_gh")
+    if min_docs > 1:
+        per_doc = seeds.groupBy("_gh", id_col).agg(F.count("*").alias("_c"))
+        gram_stats = per_doc.groupBy("_gh").agg(
+            F.sum("_c").alias("_n_occ"), F.count("*").alias("_n_docs")
+        )
+        dup = gram_stats.where(
+            (F.col("_n_occ") >= min_count) & (F.col("_n_docs") >= min_docs)
+        ).select("_gh")
+    else:
+        # min_docs <= 1 never constrains (every gram is in >= 1 doc),
+        # so the per-(gram, doc) layer would be pure shuffle overhead
+        # — one map-side-combinable count on the gram hash suffices
+        # (a typical corpus has few within-doc repeats, so that layer
+        # barely shrinks the data anyway)
+        dup = (
+            seeds.groupBy("_gh")
+            .agg(F.count("*").alias("_n_occ"))
+            .where(F.col("_n_occ") >= min_count)
+            .select("_gh")
+        )
     hits = seeds.join(dup, "_gh").select(
         id_col,
         F.col("_pos").cast("bigint").alias("span_lo"),

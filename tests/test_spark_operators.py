@@ -1286,3 +1286,12 @@ def test_substring_span_dedup(spark):
     assert clean[3]["clean_text"] == "w1 w2 w3"
     assert clean[4]["clean_text"] == ""
     assert clean[5]["clean_text"] == ""  # fully duplicated, row kept
+
+    # min_docs=2 (the two-level (gram,doc)->(gram) path): doc 5's
+    # within-doc repeat no longer qualifies; the cross-doc run still does
+    cross = {
+        (r["doc_id"], r["span_lo"]): r
+        for r in substring_duplicate_spans(df, n=4, min_docs=2).collect()
+    }
+    assert set(cross) == {(1, 0), (2, 2)}
+    assert cross[(1, 0)]["span_hi"] == 5 and cross[(2, 2)]["span_hi"] == 7
