@@ -1295,3 +1295,91 @@ def test_substring_span_dedup(spark):
     }
     assert set(cross) == {(1, 0), (2, 2)}
     assert cross[(1, 0)]["span_hi"] == 5 and cross[(2, 2)]["span_hi"] == 7
+
+
+def test_substring_span_dedup_matches_brute_force(spark):
+    """Seeded random corpora over a 6-word vocabulary (forcing heavy
+    n-gram collision), mixed casing and whitespace: spans, stats, and
+    strip all equal an independent pure-Python reference."""
+    import random
+
+    from pdfextract_spark.operators.dedup import (
+        strip_duplicate_spans,
+        substring_dedup_stats,
+        substring_duplicate_spans,
+    )
+
+    vocab = ["ab", "cd", "ef", "gh", "ij", "kl"]
+    n = 3
+
+    def brute(texts):
+        import re
+
+        toks = {
+            d: re.sub(r"\s+", " ", t.lower()).strip().split()
+            if t and t.strip()
+            else []
+            for d, t in texts.items()
+        }
+        from collections import Counter
+
+        cnt = Counter()
+        for ws in toks.values():
+            for i in range(len(ws) - n + 1):
+                cnt[tuple(ws[i : i + n])] += 1
+        spans = {}
+        for d, ws in toks.items():
+            out = []
+            for p in range(len(ws) - n + 1):
+                if cnt[tuple(ws[p : p + n])] < 2:
+                    continue
+                if out and p <= out[-1][1]:
+                    out[-1][1] = max(out[-1][1], p + n)
+                    out[-1][2] += 1
+                else:
+                    out.append([p, p + n, 1])
+            spans[d] = [tuple(x) for x in out]
+        return toks, spans
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        texts = {}
+        for d in range(40):
+            k = rng.randrange(0, 25)
+            ws = [rng.choice(vocab) for _ in range(k)]
+            # random casing + occasional double space
+            s = ""
+            for w in ws:
+                s += (w.upper() if rng.random() < 0.3 else w) + (
+                    "  " if rng.random() < 0.2 else " "
+                )
+            texts[d] = s
+        toks, want = brute(texts)
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {}
+        for r in substring_duplicate_spans(df, n=n).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["span_lo"], r["span_hi"], r["n_seeds"])
+            )
+        got = {d: sorted(v) for d, v in got.items()}
+        assert got == {d: v for d, v in want.items() if v}, f"seed {seed}"
+
+        st_rows = {
+            r["doc_id"]: r for r in substring_dedup_stats(df, n=n).collect()
+        }
+        cl_rows = {
+            r["doc_id"]: r for r in strip_duplicate_spans(df, n=n).collect()
+        }
+        for d, ws in toks.items():
+            dup = sum(hi - lo for lo, hi, _ in want[d])
+            assert st_rows[d]["n_tokens"] == len(ws)
+            assert st_rows[d]["dup_tokens"] == dup, f"seed {seed} doc {d}"
+            covered = set()
+            for lo, hi, _ in want[d]:
+                covered.update(range(lo, hi))
+            keep = " ".join(
+                w for i, w in enumerate(ws) if i not in covered
+            )
+            assert cl_rows[d]["clean_text"] == keep, f"seed {seed} doc {d}"
