@@ -122,3 +122,97 @@ def cms_point_query(
     return joined.groupBy(col).agg(
         F.min(F.coalesce("cnt", F.lit(0))).alias("est_count")
     )
+
+
+def _bit_positions(col: Column, n_hashes: int, n_bits: int) -> Column:
+    """array<bigint>: the ``n_hashes`` bloom-bit positions of an item
+    — hash_i(x) = bigint of a 12-hex chunk of md5(x || '#' || i//2)
+    (two independent chunks per md5, same trick as the CMS cells), mod
+    ``n_bits``.  md5-based so any SQL engine reproduces every bit.
+    NULL items hash as a sentinel (md5(NULL) would poison the join
+    keys into a false NEGATIVE, which a bloom filter must never
+    produce)."""
+    s = F.coalesce(col.cast("string"), F.lit("\x00<null>"))
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(s, F.lit(f"#{i // 2}"))),
+                        (i % 2) * 12 + 1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(n_bits),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over a distributed column: one row per SET
+    bit (``bit`` bigint).  Set-membership sibling of the count-min
+    sketch above — the classic ingest-side "have we seen this URL /
+    doc hash before" structure at corpus scale.
+
+    Like the CMS, the filter is LINEAR in the merge sense: the union
+    of two filters' set-bit tables IS the filter of the unioned inputs
+    (``bloom_merge``), so building one is a single map-side-combinable
+    distinct over exploded bit positions — the shuffle carries at most
+    ``n_bits`` rows regardless of input size, and a boilerplate item
+    repeated 10^9 times combines away map-side.  False-positive rate
+    ~= (1 - e^(-kn/m))^k for k hashes, n distinct items, m bits; the
+    caller sizes m from the expected distinct count (the build never
+    needs to know it)."""
+    return (
+        df.select(
+            F.explode(
+                _bit_positions(F.col(col), n_hashes, n_bits)
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two set-bit tables = the filter of the unioned inputs
+    (both must share n_bits / n_hashes — the caller's contract, as
+    with merging any sketch)."""
+    return a.unionByName(b).distinct()
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    items: DataFrame,
+    col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Per item: ``may_contain`` — true iff ALL its bit positions are
+    set (false positives possible at the designed rate, false
+    negatives never).  The probe explodes each item to its k
+    positions and left-joins the <= n_bits-row set-bit table (far
+    under the auto-broadcast threshold at practical sizes, so the
+    probe side never shuffles); the all-bits test is a count
+    aggregate, never a per-row scan of the filter."""
+    probes = items.select(
+        F.col(col),
+        F.explode(
+            _bit_positions(F.col(col), n_hashes, n_bits)
+        ).alias("bit"),
+    )
+    hit = bloom.withColumn("_set", F.lit(1))
+    joined = probes.join(hit, "bit", "left")
+    return joined.groupBy(col).agg(
+        (F.sum(F.coalesce("_set", F.lit(0))) == n_hashes).alias(
+            "may_contain"
+        )
+    )

@@ -3528,6 +3528,56 @@ def sketch_count_min(spark, sf_dir):
     return cms_point_query(sk, probes, "term", depth=4, width=256)
 
 
+@q(
+    "sketch_bloom",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                    '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    terms AS (SELECT term FROM w WHERE term <> ''),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substring(md5(term || '#' || (h.i // 2)),
+                                (h.i % 2) * 12 + 1, 12))::BIGINT
+               % 4096 AS bit
+      FROM terms, (SELECT unnest(generate_series(0, 3)) AS i) h
+    ),
+    probes AS (
+      SELECT q.term,
+             ('0x' || substring(md5(q.term || '#' || (h.i // 2)),
+                                (h.i % 2) * 12 + 1, 12))::BIGINT
+               % 4096 AS bit
+      FROM (SELECT unnest(['the','of','data','zyzzyva_absent']) AS term) q,
+           (SELECT unnest(generate_series(0, 3)) AS i) h
+    )
+    SELECT p.term, (count(b.bit) = 4) AS may_contain
+    FROM probes p LEFT JOIN bits b USING (bit)
+    GROUP BY p.term
+    """,
+)
+def sketch_bloom(spark, sf_dir):
+    """Bloom filter over the corpus term stream (4096 bits, 4
+    md5-chunk hashes — operators/sketch.bloom_build), probed for three
+    present terms and one absent: the set-membership sibling of the
+    count-min query above, the ingest-side "seen before?" structure.
+    The build is one map-side-combinable distinct of <= n_bits rows at
+    ANY corpus size; the oracle rebuilds the identical bit set, so the
+    value hash pins every set bit's position arithmetic."""
+    from ..operators.sketch import bloom_build, bloom_contains
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("term")
+    ).where(F.col("term") != "")
+    bloom = bloom_build(terms, "term", n_bits=4096, n_hashes=4)
+    probes = spark.createDataFrame(
+        [("the",), ("of",), ("data",), ("zyzzyva_absent",)], "term string"
+    )
+    return bloom_contains(bloom, probes, "term", n_bits=4096, n_hashes=4)
+
+
 # =====================================================================
 # Settings / sink surface (SURVEY.md S3, S4, S6, S8, P2)
 # =====================================================================
@@ -3672,7 +3722,7 @@ _GRADE_PRIORITY = [
     #    that previously had no driver query: S3/S4/S6/S8/P2)
     "near_dup_dedup", "lsh_dedup_clusters",
     "dedup_substring_spans", "dedup_substring_stats",
-    "dedup_substring_strip",
+    "dedup_substring_strip", "sketch_bloom",
     "pipeline_font_metrics", "pipeline_page_dims", "pipeline_masks",
     "s8_projection_parity", "p2_drop_spatial",
     # 2: latest driver row is r02
@@ -3692,12 +3742,12 @@ _GRADE_PRIORITY = [
     "pipeline_references", "pipeline_titles", "pipeline_regions",
     "pipeline_metrics", "pipeline_sections", "pipeline_zones",
     "pipeline_conv_rollup", "pipeline_resolved_references",
-    "ann_cosine_topk_ivf",
     # dropped to fit the 50-slot window (all earned driver rows in r03
     # and keep full-battery evidence via tools/check_oracle.py):
     # a12_kmeans_centers, a13_svm_reference_score, dedup_simhash,
     # quality_score, lang_id_multi, ann_cosine_topk, j6_asof_join,
-    # hypertable_rollup
+    # hypertable_rollup, ann_cosine_topk_ivf (r03 green + recall
+    # benchmark + partition-pruning proof in PLANS.md)
 ]
 
 

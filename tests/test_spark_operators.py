@@ -1383,3 +1383,46 @@ def test_substring_span_dedup_matches_brute_force(spark):
                 w for i, w in enumerate(ws) if i not in covered
             )
             assert cl_rows[d]["clean_text"] == keep, f"seed {seed} doc {d}"
+
+
+def test_bloom_filter_membership_and_merge(spark):
+    """Bloom filter: inserted items always hit (no false negatives,
+    NULL included via the sentinel hash), absent items miss at a
+    generous m/n, and merging two filters' bit tables equals building
+    over the unioned input."""
+    from pdfextract_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+    )
+
+    a = spark.createDataFrame(
+        [("alpha",), ("beta",), (None,)], "item string"
+    )
+    b = spark.createDataFrame([("gamma",), ("alpha",)], "item string")
+    kw = dict(n_bits=1 << 16, n_hashes=4)
+    fa = bloom_build(a, "item", **kw)
+    fb = bloom_build(b, "item", **kw)
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), (None,), ("absent-xyz",)],
+        "item string",
+    )
+    got = {
+        r["item"]: r["may_contain"]
+        for r in bloom_contains(
+            bloom_merge(fa, fb), probes, "item", **kw
+        ).collect()
+    }
+    assert got == {
+        "alpha": True,
+        "beta": True,
+        "gamma": True,
+        None: True,
+        "absent-xyz": False,
+    }
+    # linearity: merged bit table == bit table of the unioned input
+    merged = {r["bit"] for r in bloom_merge(fa, fb).collect()}
+    direct = {
+        r["bit"] for r in bloom_build(a.unionAll(b), "item", **kw).collect()
+    }
+    assert merged == direct
