@@ -1,0 +1,131 @@
+"""Corpus retrieval scoring: TF-IDF term weights and BM25 document
+ranking over a distributed text column.
+
+The training-data-pipeline uses: scoring documents against a probe
+query (decontamination triage, "find the docs that look like this
+benchmark"), surfacing a corpus's most characteristic terms (quality
+dashboards), and plain search over a curated set.
+
+Everything is Catalyst-native: tokenize/explode in the scan
+projection, per-(doc, term) counts and per-term document frequencies
+as map-side-combinable aggregations, and the corpus-level scalars
+(N, avgdl) carried as a broadcast single-row frame — never a
+driver-side collect, so the operators stay lazy and composable.
+
+Scale shape: the (doc, term) table is the inherent fan-out (every
+position-weighted scheme needs it); both aggregations combine
+map-side so a boilerplate term repeated 10^9 times never hot-spots a
+task; the query-term filter happens BEFORE the join back (the scored
+join moves only matching rows); the doc-frequency side of the score
+join is bounded by the query length, so it broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+
+def doc_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, term, tf, dl): per-document term counts plus the document
+    length in tokens — the base relation for TF-IDF and BM25.  NULL /
+    empty texts yield no rows (a zero-length doc can never match)."""
+    norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(norm == "", F.array()).otherwise(F.split(norm, " "))
+        ).alias("term"),
+    )
+    per_doc = toks.groupBy(id_col, "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dl = toks.groupBy(id_col).agg(F.count("*").cast("bigint").alias("dl"))
+    return per_doc.join(dl, id_col)
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, term, tf, df_t, tfidf): smoothed TF-IDF —
+    ``tf * ln((N + 1) / (df_t + 1))`` with N the corpus document
+    count.  N rides along as a broadcast single-row frame, so the
+    operator is lazy end-to-end."""
+    base = doc_terms(df, text_col, id_col)
+    n_docs = df.agg(F.count("*").cast("bigint").alias("_n"))
+    dfreq = base.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df_t")
+    )
+    return (
+        base.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df_t",
+            (
+                F.col("tf")
+                * F.log((F.col("_n") + 1) / (F.col("df_t") + 1))
+            ).alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, bm25): Okapi BM25 of every document containing at least
+    one query term, with the non-negative idf variant
+    ``ln(1 + (N - df_t + 0.5) / (df_t + 0.5))``.
+
+    The query-term filter lands BEFORE both the doc-frequency
+    aggregation and the score join, so the joins move only matching
+    rows; df_t is bounded by ``len(query_terms)`` rows and broadcasts.
+    Corpus scalars (N, avgdl) ride as a broadcast single-row frame —
+    no driver-side action, the plan composes lazily."""
+    terms = [t.lower() for t in query_terms]
+    base = doc_terms(df, text_col, id_col)
+    hits = base.where(F.col("term").isin(terms))
+    dfreq = hits.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df_t")
+    )
+    # N = ALL documents; avgdl = over documents with >= 1 token (the
+    # only ones in the base relation) — deterministic and what the
+    # oracle states
+    stats = df.agg(F.count("*").cast("bigint").alias("_n")).crossJoin(
+        base.select(id_col, "dl")
+        .distinct()
+        .agg(F.avg("dl").alias("_avgdl"))
+    )
+    idf = F.log(
+        1
+        + (F.col("_n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    tf_part = (
+        F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
+        )
+    )
+    return (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(idf * tf_part).alias("bm25"))
+    )

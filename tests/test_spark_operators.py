@@ -1426,3 +1426,42 @@ def test_bloom_filter_membership_and_merge(spark):
         r["bit"] for r in bloom_build(a.unionAll(b), "item", **kw).collect()
     }
     assert merged == direct
+
+
+def test_bm25_and_tfidf_match_hand_computation(spark):
+    """BM25 and TF-IDF against hand-computed values on a 4-doc corpus
+    (one NULL doc): df counts, idf smoothing, length normalization,
+    and absence handling all pinned."""
+    import math
+
+    from pdfextract_spark.operators.retrieval import bm25_scores, tf_idf
+
+    df = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "Dog  bird"), (3, "fish"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ["cat", "dog", "absent"]).collect()
+    }
+    n, avgdl, k1, b = 4, 2.0, 1.2, 0.75
+    idf_cat = math.log(1 + (n - 1 + 0.5) / 1.5)
+    idf_dog = math.log(1 + (n - 2 + 0.5) / 2.5)
+
+    def tfp(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want1 = idf_cat * tfp(2, 3) + idf_dog * tfp(1, 3)
+    want2 = idf_dog * tfp(1, 2)
+    assert set(got) == {1, 2}  # doc 3 matches nothing, doc 4 is NULL
+    assert abs(got[1] - want1) < 1e-9 and abs(got[2] - want2) < 1e-9
+
+    ti = {
+        (r["doc_id"], r["term"]): r
+        for r in tf_idf(df).collect()
+    }
+    r = ti[(1, "cat")]
+    assert r["tf"] == 2 and r["df_t"] == 1
+    assert abs(r["tfidf"] - 2 * math.log(5 / 2)) < 1e-9
+    assert ti[(2, "dog")]["df_t"] == 2  # normalization: "Dog" == "dog"
+    assert (4, "") not in ti  # NULL doc contributes no rows
