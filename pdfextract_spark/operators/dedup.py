@@ -647,16 +647,14 @@ def strip_duplicate_paragraphs(
 
 def _gram_hashes(col: Column, n: int) -> Column:
     """array<string>: md5 hex of each n-token window of the normalized
-    text (token = whitespace-split word).  transform over an index
-    sequence keeps the windowing JVM-side; the 128-bit md5 keeps the
-    corpus-wide group key collision-free at 10^12-gram scale (a 48-bit
-    truncation would birthday-collide long before that) and is
-    reproducible in any SQL engine with md5."""
-    words = F.split(normalize_text(F.coalesce(col, F.lit(""))), " ")
-    sz = F.size(words)
-    idx = F.sequence(F.lit(1), sz - n + 1)
-    return F.when(sz < n, F.array()).otherwise(
-        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))))
+    text — ``word_shingles`` (the module's one windowing kernel) with
+    md5 mapped over it, so the 0-based posexplode positions line up
+    with token indices; the 128-bit md5 keeps the corpus-wide group
+    key collision-free at 10^12-gram scale (a 48-bit truncation would
+    birthday-collide long before that) and is reproducible in any SQL
+    engine with md5.  NULL text coalesces to '' (zero grams)."""
+    return F.transform(
+        word_shingles(F.coalesce(col, F.lit("")), n), F.md5
     )
 
 

@@ -7,17 +7,21 @@ benchmark"), surfacing a corpus's most characteristic terms (quality
 dashboards), and plain search over a curated set.
 
 Everything is Catalyst-native: tokenize/explode in the scan
-projection, per-(doc, term) counts and per-term document frequencies
-as map-side-combinable aggregations, and the corpus-level scalars
-(N, avgdl) carried as a broadcast single-row frame — never a
-driver-side collect, so the operators stay lazy and composable.
+projection, per-(doc, term) counts as ONE map-side-combinable
+aggregation (checkpoint-fenced — every downstream relation, document
+lengths included, derives from the counted table, so the corpus is
+tokenized exactly once per call; ``fence=False`` opts out for
+streaming / fault-tolerant callers, see operators/fence.py), and the
+corpus-level scalars (N, avgdl) carried as broadcast single-row
+frames — never a driver-side collect, so the operators stay lazy and
+composable.
 
 Scale shape: the (doc, term) table is the inherent fan-out (every
-position-weighted scheme needs it); both aggregations combine
-map-side so a boilerplate term repeated 10^9 times never hot-spots a
-task; the query-term filter happens BEFORE the join back (the scored
-join moves only matching rows); the doc-frequency side of the score
-join is bounded by the query length, so it broadcasts.
+position-weighted scheme needs it); the aggregation combines map-side
+so a boilerplate term repeated 10^9 times never hot-spots a task; the
+query-term filter happens BEFORE the joins (the scored join moves
+only matching rows); the doc-frequency side of the score join is
+bounded by the query length, so it broadcasts.
 """
 
 from __future__ import annotations
@@ -26,16 +30,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
+from .fence import fence as _fence
 
 
-def doc_terms(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """(id, term, tf, dl): per-document term counts plus the document
-    length in tokens — the base relation for TF-IDF and BM25.  NULL /
-    empty texts yield no rows (a zero-length doc can never match)."""
+def _term_counts(
+    df: DataFrame, text_col: str, id_col: str, fence: bool
+) -> tuple[DataFrame, DataFrame]:
+    """(per_doc, dl): the fenced (id, term, tf) count table and the
+    per-document token length DERIVED from it (dl = sum of tf), so
+    the raw text is tokenized exactly once.  NULL / empty texts yield
+    no rows (a zero-length doc can never match)."""
     norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
     toks = df.select(
         F.col(id_col),
@@ -46,7 +50,23 @@ def doc_terms(
     per_doc = toks.groupBy(id_col, "term").agg(
         F.count("*").cast("bigint").alias("tf")
     )
-    dl = toks.groupBy(id_col).agg(F.count("*").cast("bigint").alias("dl"))
+    if fence:
+        per_doc = _fence(per_doc)
+    dl = per_doc.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    )
+    return per_doc, dl
+
+
+def doc_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fence: bool = True,
+) -> DataFrame:
+    """(id, term, tf, dl): per-document term counts plus the document
+    length in tokens — the base relation for TF-IDF and BM25."""
+    per_doc, dl = _term_counts(df, text_col, id_col, fence)
     return per_doc.join(dl, id_col)
 
 
@@ -54,18 +74,19 @@ def tf_idf(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fence: bool = True,
 ) -> DataFrame:
     """(id, term, tf, df_t, tfidf): smoothed TF-IDF —
     ``tf * ln((N + 1) / (df_t + 1))`` with N the corpus document
     count.  N rides along as a broadcast single-row frame, so the
     operator is lazy end-to-end."""
-    base = doc_terms(df, text_col, id_col)
+    per_doc, _ = _term_counts(df, text_col, id_col, fence)
     n_docs = df.agg(F.count("*").cast("bigint").alias("_n"))
-    dfreq = base.groupBy("term").agg(
+    dfreq = per_doc.groupBy("term").agg(
         F.count("*").cast("bigint").alias("df_t")
     )
     return (
-        base.join(dfreq, "term")
+        per_doc.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
@@ -87,29 +108,28 @@ def bm25_scores(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    fence: bool = True,
 ) -> DataFrame:
     """(id, bm25): Okapi BM25 of every document containing at least
     one query term, with the non-negative idf variant
     ``ln(1 + (N - df_t + 0.5) / (df_t + 0.5))``.
 
-    The query-term filter lands BEFORE both the doc-frequency
-    aggregation and the score join, so the joins move only matching
-    rows; df_t is bounded by ``len(query_terms)`` rows and broadcasts.
-    Corpus scalars (N, avgdl) ride as a broadcast single-row frame —
-    no driver-side action, the plan composes lazily."""
+    The query-term filter lands on the fenced count table BEFORE both
+    the doc-frequency aggregation and the score join, so the joins
+    move only matching rows; df_t is bounded by ``len(query_terms)``
+    rows and broadcasts.  Corpus scalars — N over ALL documents,
+    avgdl over documents with >= 1 token (the only ones the count
+    table holds) — ride as a broadcast single-row frame: no
+    driver-side action, the plan composes lazily."""
     terms = [t.lower() for t in query_terms]
-    base = doc_terms(df, text_col, id_col)
-    hits = base.where(F.col("term").isin(terms))
-    dfreq = hits.groupBy("term").agg(
+    per_doc, dl = _term_counts(df, text_col, id_col, fence)
+    matched = per_doc.where(F.col("term").isin(terms))
+    hits = matched.join(dl, id_col)
+    dfreq = matched.groupBy("term").agg(
         F.count("*").cast("bigint").alias("df_t")
     )
-    # N = ALL documents; avgdl = over documents with >= 1 token (the
-    # only ones in the base relation) — deterministic and what the
-    # oracle states
     stats = df.agg(F.count("*").cast("bigint").alias("_n")).crossJoin(
-        base.select(id_col, "dl")
-        .distinct()
-        .agg(F.avg("dl").alias("_avgdl"))
+        dl.agg(F.avg("dl").alias("_avgdl"))
     )
     idf = F.log(
         1

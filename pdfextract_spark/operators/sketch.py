@@ -196,18 +196,26 @@ def bloom_contains(
     n_bits: int = 1 << 20,
     n_hashes: int = 4,
 ) -> DataFrame:
-    """Per item: ``may_contain`` — true iff ALL its bit positions are
-    set (false positives possible at the designed rate, false
-    negatives never).  The probe explodes each item to its k
-    positions and left-joins the <= n_bits-row set-bit table (far
-    under the auto-broadcast threshold at practical sizes, so the
-    probe side never shuffles); the all-bits test is a count
-    aggregate, never a per-row scan of the filter."""
-    probes = items.select(
-        F.col(col),
-        F.explode(
-            _bit_positions(F.col(col), n_hashes, n_bits)
-        ).alias("bit"),
+    """One row per DISTINCT item value: ``may_contain`` — true iff
+    ALL its bit positions are set (false positives possible at the
+    designed rate, false negatives never).  The probe stream is
+    deduplicated first — without it a repeated probe value would
+    contribute n_hashes rows per occurrence and the all-bits count
+    test would report a false NEGATIVE for inserted items, breaking
+    the contract.  Each distinct item explodes to its k positions and
+    left-joins the <= n_bits-row set-bit table (far under the
+    auto-broadcast threshold at practical sizes, so the probe side
+    never shuffles); the all-bits test is a count aggregate, never a
+    per-row scan of the filter."""
+    probes = (
+        items.select(col)
+        .distinct()
+        .select(
+            F.col(col),
+            F.explode(
+                _bit_positions(F.col(col), n_hashes, n_bits)
+            ).alias("bit"),
+        )
     )
     hit = bloom.withColumn("_set", F.lit(1))
     joined = probes.join(hit, "bit", "left")

@@ -3114,8 +3114,8 @@ _SS_CORPUS_SQL = f"""
 _SS_SPANS_SQL = """
     nw AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
-                                              'g')), ' ') AS w
+             string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                              '\\s+', ' ', 'g')), ' ') AS w
       FROM corpus
     ),
     g0 AS (

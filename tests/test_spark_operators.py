@@ -1403,8 +1403,12 @@ def test_bloom_filter_membership_and_merge(spark):
     kw = dict(n_bits=1 << 16, n_hashes=4)
     fa = bloom_build(a, "item", **kw)
     fb = bloom_build(b, "item", **kw)
+    # "alpha" probed TWICE: a repeated probe value must still hit
+    # (the operator dedups the probe stream; a per-occurrence count
+    # would see 2*n_hashes rows and report a false negative)
     probes = spark.createDataFrame(
-        [("alpha",), ("beta",), ("gamma",), (None,), ("absent-xyz",)],
+        [("alpha",), ("alpha",), ("beta",), ("gamma",), (None,),
+         ("absent-xyz",)],
         "item string",
     )
     got = {

@@ -199,11 +199,12 @@ def main() -> None:
 
     corpus = build_corpus(spark, sf_dir, mult).cache()
     n_docs = corpus.count()  # materialize input outside the timed window
-    n_base = corpus.where(F.col("doc_id") < 10_000_000).count()
 
     if query == "substring":
         _run_substring(spark, corpus, n_docs, mult, cores, sf_dir)
         return
+
+    n_base = corpus.where(F.col("doc_id") < 10_000_000).count()
 
     stats: dict = {}
     attach_rate = None

@@ -105,15 +105,24 @@ REPRESENTATIVE = {
     "serialized past the kernel stage",
     "dedup_substring_stats": "substring-span dedup: the n-gram md5 "
     "windowing is a codegen'd higher-order transform in the scan "
-    "projection; corpus-wide gram counting is TWO-level partial "
-    "aggregation ((gram, doc) then gram) so a boilerplate gram "
-    "repeated 10^9 times map-side-combines at both levels instead of "
+    "projection; corpus-wide gram counting is ONE map-side-combinable "
+    "aggregation on the gram hash (the driver's min_docs=1 default — "
+    "a two-level (gram,doc)->(gram) split only when min_docs>1 "
+    "constrains), so a boilerplate gram repeated 10^9 times "
+    "partial-aggregates instead of "
     "hot-spotting one task; the dup-gram set hash-equi-joins back to "
     "the seed table (1:1 per seed, no expansion) and the island merge "
     "is one per-document window — NOTE: the seed table is "
     "checkpoint-fenced (feeds both the count and the join back), so "
     "the plan roots at Scan ExistingRDD and the scan-stage evidence "
     "lives in the pre-fence projection",
+    "text_bm25": "BM25 scoring: the query-term filter lands on the "
+    "fenced (doc, term, tf) count table BEFORE the joins; the "
+    "doc-frequency side (<= |query| rows) and the corpus-scalar "
+    "single-row frame both broadcast, so the only shuffled relation "
+    "is the matching rows themselves; document lengths derive from "
+    "the count table (sum of tf), so the corpus is tokenized exactly "
+    "once",
 }
 
 
