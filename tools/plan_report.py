@@ -116,6 +116,11 @@ REPRESENTATIVE = {
     "checkpoint-fenced (feeds both the count and the join back), so "
     "the plan roots at Scan ExistingRDD and the scan-stage evidence "
     "lives in the pre-fence projection",
+    "sketch_bloom": "bloom filter build + probe: one map-side-"
+    "combinable distinct of <= n_bits rows (a mega-duplicate item "
+    "combines away in the scan stage); the probe side dedups, "
+    "explodes to k bit positions, and the set-bit table broadcasts "
+    "into the membership join — the corpus is never shuffled",
     "text_bm25": "BM25 scoring: the query-term filter lands on the "
     "fenced (doc, term, tf) count table BEFORE the joins; the "
     "doc-frequency side (<= |query| rows) and the corpus-scalar "
