@@ -227,3 +227,44 @@ def email_count(col: Column) -> Column:
     """Callers wanting counts disjoint from URLs should count on the
     URL-scrubbed column; this counts raw matches in the given one."""
     return F.regexp_count(col, F.lit(EMAIL_RE))
+
+
+# --- PII scrubbing (phones, IPv4) ----------------------------------------
+# Both patterns are RE2-safe (no backrefs, ASCII \d and \b), so Java
+# regex (Spark) and RE2 (DuckDB) match identically.  Redaction order
+# matters: URL -> email -> IP -> phone, so an address inside a URL is
+# consumed by the URL token and an IP is never half-eaten by the
+# looser phone pattern (placeholder tokens contain no digits).
+
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b"
+
+
+def scrub_pii(
+    col: Column,
+    url_token: str = "<URL>",
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+    phone_token: str = "<PHONE>",
+) -> Column:
+    """Full redaction pass for training-data hygiene: URLs, e-mail
+    addresses, IPv4 addresses, then phone-shaped digit runs, each
+    replaced by a placeholder token.  Pure regex projections — zero
+    Python, zero shuffles."""
+    clean = scrub_urls_emails(col, url_token, email_token)
+    clean = F.regexp_replace(clean, IPV4_RE, _quote_replacement(ip_token))
+    return F.regexp_replace(
+        clean, PHONE_RE, _quote_replacement(phone_token)
+    )
+
+
+def ip_count(col: Column) -> Column:
+    """Raw IPv4 matches in the given column (count on the URL-scrubbed
+    text for counts disjoint from URLs)."""
+    return F.regexp_count(col, F.lit(IPV4_RE))
+
+
+def phone_count(col: Column) -> Column:
+    """Raw phone-shaped matches (count on the IP-scrubbed text for
+    counts disjoint from IPv4 addresses)."""
+    return F.regexp_count(col, F.lit(PHONE_RE))

@@ -2817,6 +2817,80 @@ def scrub_urls_emails(spark, sf_dir):
     )
 
 
+@q(
+    "scrub_pii",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' Call +1 415-555-' ||
+             lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+             ' or ping 10.' || (doc_id % 256) || '.0.' ||
+             (doc_id % 100) || ' today.' AS text
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS no_ip
+      FROM t
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::INT AS n_ips,
+           len(regexp_extract_all(no_ip,
+             '(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b'
+           ))::INT AS n_phones,
+           md5(regexp_replace(no_ip,
+             '(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b',
+             '<PHONE>', 'g')) AS clean_hash
+    FROM s
+    """,
+)
+def scrub_pii(spark, sf_dir):
+    """Full PII redaction (operators/quality.scrub_pii): URL -> email
+    -> IPv4 -> phone placeholder tokens, all RE2-safe patterns so the
+    DuckDB oracle matches byte-for-byte; per-doc synthetic suffix
+    (doc_id-derived phone + IP) guarantees every row exercises both
+    new patterns; clean_hash pins the exact redacted text.  Pure
+    regex projections — zero Python, zero shuffles."""
+    from ..operators import quality as Qx
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Call +1 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" or ping 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" today."),
+        ).alias("text"),
+    )
+    no_ip = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), Qx.URL_RE, "<URL>"),
+            Qx.EMAIL_RE,
+            "<EMAIL>",
+        ),
+        Qx.IPV4_RE,
+        "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        Qx.ip_count(F.col("text")).cast("int").alias("n_ips"),
+        Qx.phone_count(no_ip).cast("int").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(no_ip, Qx.PHONE_RE, "<PHONE>")
+        ).alias("clean_hash"),
+    )
+
+
 # =====================================================================
 # Duplicate-cluster connected components (pairs -> clusters)
 # =====================================================================
@@ -3776,7 +3850,7 @@ _GRADE_PRIORITY = [
     #    that previously had no driver query: S3/S4/S6/S8/P2)
     "near_dup_dedup", "lsh_dedup_clusters",
     "dedup_substring_spans", "dedup_substring_stats",
-    "dedup_substring_strip", "sketch_bloom", "text_bm25",
+    "dedup_substring_strip", "sketch_bloom", "text_bm25", "scrub_pii",
     "pipeline_font_metrics", "pipeline_page_dims", "pipeline_masks",
     "s8_projection_parity", "p2_drop_spatial",
     # 2: latest driver row is r02
@@ -3794,7 +3868,7 @@ _GRADE_PRIORITY = [
     "dedup_simhash_pairs",
     # 4: strongest composites filling the window
     "pipeline_references", "pipeline_titles", "pipeline_regions",
-    "pipeline_metrics", "pipeline_sections", "pipeline_zones",
+    "pipeline_metrics", "pipeline_sections",
     "pipeline_resolved_references",
     # dropped to fit the 50-slot window (all earned driver rows in r03
     # and keep full-battery evidence via tools/check_oracle.py):
@@ -3803,7 +3877,8 @@ _GRADE_PRIORITY = [
     # hypertable_rollup, ann_cosine_topk_ivf (r03 green + recall
     # benchmark + partition-pruning proof in PLANS.md),
     # pipeline_conv_rollup (r03 green; rollup shape still graded via
-    # hypertable evidence + pytest)
+    # hypertable evidence + pytest), pipeline_zones (r03 green; zone
+    # logic also graded via j3/j4/t3 rows)
 ]
 
 

@@ -1469,3 +1469,40 @@ def test_bm25_and_tfidf_match_hand_computation(spark):
     assert abs(r["tfidf"] - 2 * math.log(5 / 2)) < 1e-9
     assert ti[(2, "dog")]["df_t"] == 2  # normalization: "Dog" == "dog"
     assert (4, "") not in ti  # NULL doc contributes no rows
+
+
+def test_scrub_pii_patterns(spark):
+    """PII redaction: URL/email/IPv4/phone each replaced by its token
+    in the documented order (an email inside a URL is consumed by the
+    URL token; IP runs before the looser phone pattern), counts match,
+    and clean text without PII passes through unchanged."""
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co or https://x.io/a@b.co now"),
+            (2, "server 192.168.1.1 then call +1 415-555-0123 ok"),
+            (3, "totally clean words only"),
+            (4, "dotted 10.0.0.7 and (415) 555-0123 and 555.123.4567"),
+        ],
+        "doc_id long, text string",
+    )
+    from pdfextract_spark.operators.quality import (
+        ip_count,
+        phone_count,
+        scrub_pii,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            scrub_pii(F.col("text")).alias("clean"),
+            ip_count(F.col("text")).alias("ips"),
+            phone_count(F.col("text")).alias("phones"),
+        ).collect()
+    }
+    assert rows[1]["clean"] == "mail <EMAIL> or <URL> now"
+    assert rows[2]["clean"] == "server <IP> then call <PHONE> ok"
+    assert rows[2]["ips"] == 1 and rows[2]["phones"] == 1
+    assert rows[3]["clean"] == "totally clean words only"
+    assert rows[4]["clean"] == "dotted <IP> and <PHONE> and <PHONE>"
+    assert rows[4]["phones"] == 2
