@@ -266,6 +266,7 @@ def extract(
     repartition: int | None = None,
     want: tuple[str, ...] | None = None,
     on_error: str = "fail",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, ...) -> one result row
     per turn with nested extraction artifacts.
@@ -286,21 +287,33 @@ def extract(
     a sentinel row instead (``page_count = -1``, empty artifacts,
     metrics carrying chars_in only) so one poison turn cannot kill the
     job — filter ``page_count >= 0`` downstream, count the rest.
+
+    ``carry``: extra INPUT columns passed through to the output
+    verbatim (the stage is 1:1 row-for-row, so they copy straight from
+    the input Arrow batch with zero per-row Python cost) — e.g.
+    ``carry=("ts",)`` keeps the event-time column for a downstream
+    watermarked streaming aggregation.
     """
     if on_error not in ("fail", "skip"):
         raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     from ..core.spatial import get_text_content
 
     selected = DEFAULT_ARTIFACTS if want is None else tuple(want)
-    schema = StructType(
+    computed = StructType(
         [
             f
             for f in RESULT_SCHEMA.fields
             if f.name not in ARTIFACT_FIELDS or f.name in selected
         ]
     )
+    clash = [c for c in carry if c in computed.fieldNames()]
+    if clash:
+        raise ValueError(f"carry columns collide with output: {clash}")
+    schema = StructType(
+        list(computed.fields) + [df.schema[c] for c in carry]
+    )
 
-    src = df.select("conv_id", "turn_idx", "role", "text")
+    src = df.select("conv_id", "turn_idx", "role", "text", *carry)
     if repartition:
         src = src.repartition(
             repartition, F.xxhash64(F.col("conv_id"), F.col("turn_idx"))
@@ -312,6 +325,7 @@ def extract(
     from pyspark.sql.pandas.types import to_arrow_schema
 
     arrow_schema = to_arrow_schema(schema)
+    computed_arrow = to_arrow_schema(computed)
 
     def run(batches):
         """Arrow-native stage: consume pyarrow RecordBatches, run the
@@ -333,7 +347,7 @@ def extract(
             # column-wise accumulation: one Python list per output
             # field, converted once by pa.array — avoids building a
             # per-turn row dict plus a second all-rows pass per field
-            cols: dict[str, list] = {f.name: [] for f in arrow_schema}
+            cols: dict[str, list] = {f.name: [] for f in computed_arrow}
             for conv_id, turn_idx, role, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"]
             ):
@@ -445,8 +459,17 @@ def extract(
                     )
             arrays = [
                 pa.array(cols[field.name], type=field.type)
-                for field in arrow_schema
+                for field in computed_arrow
             ]
+            for c in carry:
+                # 1:1 row mapping: carried columns copy verbatim from
+                # the input batch (no per-row Python), cast only if the
+                # input conversion chose a different arrow flavor
+                col = batch.column(batch.schema.get_field_index(c))
+                want_t = arrow_schema.field(c).type
+                if col.type != want_t:
+                    col = col.cast(want_t)
+                arrays.append(col)
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     return src.mapInArrow(run, schema=schema)

@@ -39,18 +39,44 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+def completed_buckets(
+    spark: SparkSession, out_dir: str, n_buckets: int | None = None
+) -> set[int]:
+    """Bucket ids with a committed lineage row.  Only a MISSING
+    lineage path means "nothing done yet" — any other read failure
+    propagates (swallowing it would silently reprocess a finished job
+    and append duplicate lineage rows).  When ``n_buckets`` is given,
+    a lineage table recorded under a different bucketing refuses to
+    resume: the old bucket ids would mis-assign rows under the new
+    hash, silently skipping data."""
+    from pyspark.errors import AnalysisException
+
     try:
-        rows = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(f"{out_dir}/{LINEAGE_SUBDIR}")
-            .select("bucket")
-            .distinct()
+        lineage = spark.read.option("mergeSchema", "true").parquet(
+            f"{out_dir}/{LINEAGE_SUBDIR}"
+        )
+    except AnalysisException:
+        return set()
+    if n_buckets is not None and "n_buckets" in lineage.columns:
+        bad = (
+            lineage.where(
+                F.col("n_buckets").isNotNull()
+                & (F.col("n_buckets") != n_buckets)
+            )
+            .select("n_buckets")
+            .limit(1)
             .collect()
         )
-        return {r[0] for r in rows}
-    except Exception:
-        return set()
+        if bad:
+            raise ValueError(
+                f"lineage at {out_dir} was committed with "
+                f"n_buckets={bad[0][0]}; resuming with "
+                f"n_buckets={n_buckets} would assign different rows to "
+                f"already-'done' bucket ids — rerun with the original "
+                f"bucketing or a fresh out_dir"
+            )
+    rows = lineage.select("bucket").distinct().collect()
+    return {r[0] for r in rows}
 
 
 def run_extraction_job(
@@ -73,42 +99,99 @@ def run_extraction_job(
     with ``writeTo(...).overwritePartitions()`` — the logic is
     unchanged.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    src = with_bucket(transcripts, n_buckets)
+    # per-job override, restored afterwards — permanently flipping the
+    # session's overwrite semantics would change unrelated later writes
+    _OVR = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(_OVR, None)
+    spark.conf.set(_OVR, "dynamic")
+    try:
+        src = with_bucket(transcripts, n_buckets)
 
-    done = completed_buckets(spark, out_dir) if resume else set()
-    todo = [b for b in range(n_buckets) if b not in done]
-
-    for i in range(0, len(todo), buckets_per_batch):
-        batch = todo[i : i + buckets_per_batch]
-        part = src.where(F.col("bucket").isin(batch))
-        # recompute the bucket from the same hash instead of joining it
-        # back — the extraction output keeps (conv_id, turn_idx), so the
-        # bucket is a pure projection (no shuffle).
-        result = with_bucket(
-            extract(part, settings, on_error=on_error, want=want), n_buckets
+        done = (
+            completed_buckets(spark, out_dir, n_buckets) if resume else set()
         )
-        result.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+        todo = [b for b in range(n_buckets) if b not in done]
 
-        lineage = (
-            result.groupBy("bucket")
-            .agg(
-                F.count("*").alias("rows_out"),
-                F.sum("metrics.chars_in").alias("chars_in"),
-                F.sum("metrics.chars_truncated").alias("chars_truncated"),
-                F.sum("metrics.regions_found").alias("regions_found"),
-                F.sum("metrics.sections_found").alias("sections_found"),
-                F.sum("metrics.refs_matched").alias("refs_matched"),
-                F.sum(
-                    F.when(F.col("page_count") < 0, 1).otherwise(0)
-                ).alias("turns_errored"),
-            )
-            .withColumn("committed_at", F.lit(time.time()))
-        )
-        lineage.write.mode("append").parquet(f"{out_dir}/{LINEAGE_SUBDIR}")
+        for i in range(0, len(todo), buckets_per_batch):
+            batch = todo[i : i + buckets_per_batch]
+            part = src.where(F.col("bucket").isin(batch))
+            # recompute the bucket from the same hash instead of
+            # joining it back — the extraction output keeps (conv_id,
+            # turn_idx), so the bucket is a pure projection (no
+            # shuffle).  persist(): the output write and the lineage
+            # aggregation both consume the result, and the extraction
+            # kernel is the dominant cost — without the persist it
+            # would run twice per batch.
+            result = with_bucket(
+                extract(part, settings, on_error=on_error, want=want),
+                n_buckets,
+            ).persist()
+            try:
+                result.write.mode("overwrite").partitionBy(
+                    "bucket"
+                ).parquet(out_dir)
+
+                agg = result.groupBy("bucket").agg(
+                    F.count("*").alias("rows_out"),
+                    F.sum("metrics.chars_in").alias("chars_in"),
+                    F.sum("metrics.chars_truncated").alias(
+                        "chars_truncated"
+                    ),
+                    F.sum("metrics.regions_found").alias("regions_found"),
+                    F.sum("metrics.sections_found").alias(
+                        "sections_found"
+                    ),
+                    F.sum("metrics.refs_matched").alias("refs_matched"),
+                    F.sum(
+                        F.when(F.col("page_count") < 0, 1).otherwise(0)
+                    ).alias("turns_errored"),
+                )
+                # one lineage row per SCHEDULED bucket, zero-filled for
+                # empty ones — a bucket with no input rows must still
+                # commit, or resume would reprocess it forever
+                sched = spark.createDataFrame(
+                    [(int(b),) for b in batch], "bucket int"
+                )
+                zero = F.lit(0).cast("bigint")
+                lineage = (
+                    sched.join(agg, "bucket", "left")
+                    .select(
+                        "bucket",
+                        F.coalesce("rows_out", zero).alias("rows_out"),
+                        F.coalesce("chars_in", zero).alias("chars_in"),
+                        F.coalesce("chars_truncated", zero).alias(
+                            "chars_truncated"
+                        ),
+                        F.coalesce("regions_found", zero).alias(
+                            "regions_found"
+                        ),
+                        F.coalesce("sections_found", zero).alias(
+                            "sections_found"
+                        ),
+                        F.coalesce("refs_matched", zero).alias(
+                            "refs_matched"
+                        ),
+                        F.coalesce("turns_errored", zero).alias(
+                            "turns_errored"
+                        ),
+                    )
+                    .withColumn("n_buckets", F.lit(n_buckets))
+                    .withColumn("committed_at", F.lit(time.time()))
+                )
+                lineage.write.mode("append").parquet(
+                    f"{out_dir}/{LINEAGE_SUBDIR}"
+                )
+            finally:
+                result.unpersist()
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(_OVR)
+        else:
+            spark.conf.set(_OVR, prev_mode)
 
     # mergeSchema: lineage written before a schema addition (e.g.
-    # turns_errored) must still read consistently on resumed jobs
+    # turns_errored, n_buckets) must still read consistently on
+    # resumed jobs
     return spark.read.option("mergeSchema", "true").parquet(
         f"{out_dir}/{LINEAGE_SUBDIR}"
     )

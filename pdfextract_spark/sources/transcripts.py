@@ -144,6 +144,17 @@ def synth_transcripts(
 
     def gen(batches):
         for pdf in batches:
+            # the transcript contract types turn_idx as int (32-bit);
+            # numpy astype('int32') would WRAP silently past 2^31,
+            # breaking the globally-unique-and-monotone invariant and
+            # corrupting bucket keys — fail loudly instead
+            if len(pdf) and int(pdf["seq"].max()) > 2**31 - 1:
+                raise ValueError(
+                    "turn_idx (= doc_id * turns_per_doc + variant) "
+                    "exceeds int32 — reduce turns_per_doc/mirrors or "
+                    "widen the transcript schema before synthesizing "
+                    "at this scale"
+                )
             texts = []
             for doc_text, seq in zip(pdf["text"], pdf["seq"]):
                 words = str(doc_text or "").split()

@@ -20,17 +20,22 @@ from pyspark.sql import functions as F
 
 from ..plans.extract import extract
 from ..settings import DEFAULT, Settings
+from ..sources.tables import TRANSCRIPT_DDL  # single schema authority
 
-TRANSCRIPT_DDL = (
-    "conv_id string, turn_idx int, role string, text string, "
-    "tool string, ts timestamp"
-)
+__all__ = ["TRANSCRIPT_DDL"]  # re-exported for existing importers
 
 
-def extract_stream(stream_df: DataFrame, settings: Settings = DEFAULT) -> DataFrame:
+def extract_stream(
+    stream_df: DataFrame,
+    settings: Settings = DEFAULT,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Apply the extraction plan to a streaming DataFrame.  Stateless:
-    the identical mapInArrow stage is streaming-safe."""
-    return extract(stream_df, settings)
+    the identical mapInArrow stage is streaming-safe.  ``carry``
+    passes input columns (e.g. the event-time ``ts``) through to the
+    output verbatim — required upstream of any watermarked
+    aggregation over the extraction results."""
+    return extract(stream_df, settings, carry=carry)
 
 
 def start_file_stream(
@@ -63,14 +68,28 @@ def start_file_stream(
 
 
 def streaming_conv_metrics(
-    stream_result: DataFrame, watermark: str = "10 minutes"
+    stream_result: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Late-data-tolerant per-conversation metric stream: watermarked
-    session-style aggregation over the extraction output."""
+    EVENT-time aggregation over the extraction output.
+
+    ``stream_result`` must carry the event-time column — produce it
+    with ``extract_stream(src, carry=("ts",))``.  (An earlier version
+    stamped processing time here, which silently made the watermark a
+    no-op: all rows in a microbatch shared one timestamp, so nothing
+    could ever be late and a replayed conversation landed in
+    arrival-time windows instead of its own.)"""
+    if ts_col not in stream_result.columns:
+        raise ValueError(
+            f"streaming_conv_metrics needs event-time column "
+            f"{ts_col!r}; build the stream with "
+            f"extract_stream(src, carry=({ts_col!r},))"
+        )
     return (
-        stream_result.withColumn("ts", F.current_timestamp())
-        .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "5 minutes"), F.col("conv_id"))
+        stream_result.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "5 minutes"), F.col("conv_id"))
         .agg(
             F.count("*").alias("turns"),
             F.sum("metrics.refs_matched").alias("refs_matched"),
@@ -95,12 +114,23 @@ def streaming_dedup_exact(
     evicted), so the query runs forever on a firehose — the batch
     operator then handles the full-corpus pass.  Duplicates farther
     apart than the watermark are deliberately NOT caught here; that is
-    the price of bounded state, stated rather than hidden."""
+    the price of bounded state, stated rather than hidden.
+
+    NULL-text rows (tool turns, PERMISSIVE-parsed malformed rows) are
+    NOT duplicates of each other — they bypass the dedup entirely and
+    union back in (md5(NULL) is NULL, and a NULL dedup key would
+    collapse every NULL-text row into the first one: mass row loss,
+    the same bug class the batch near-dup operator fixed)."""
     from ..operators.dedup import text_hash
 
-    return (
-        stream_df.withColumn("_text_hash", text_hash(F.col(text_col)))
+    hashed = stream_df.withColumn(
+        "_text_hash", text_hash(F.col(text_col))
+    )
+    nulls = hashed.where(F.col(text_col).isNull()).drop("_text_hash")
+    deduped = (
+        hashed.where(F.col(text_col).isNotNull())
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_text_hash"])
         .drop("_text_hash")
     )
+    return deduped.unionByName(nulls)

@@ -50,7 +50,24 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _close_sessions(gap_ms: int):
+def _to_epoch_ms(ts: pd.Timestamp, tz: str) -> int:
+    """applyInPandasWithState delivers naive timestamps localized to
+    ``spark.sql.session.timeZone``, but setTimeoutTimestamp compares
+    true epoch ms — treating the wall-clock value as UTC would arm the
+    timeout off by the zone offset (west of UTC it can land BEFORE the
+    watermark and kill the query)."""
+    return int(pd.Timestamp(ts).tz_localize(tz).value // 1_000_000)
+
+
+def _from_epoch_ms(ms: int, tz: str) -> pd.Timestamp:
+    """Inverse: epoch ms back to the naive session-zone wall clock that
+    Spark expects in returned timestamp columns."""
+    return (
+        pd.Timestamp(ms, unit="ms", tz="UTC").tz_convert(tz).tz_localize(None)
+    )
+
+
+def _close_sessions(gap_ms: int, tz: str):
     def fn(
         key: Any,
         pdfs: Iterable[pd.DataFrame],
@@ -65,7 +82,7 @@ def _close_sessions(gap_ms: int):
                     "conv_id": [conv_id],
                     "turns": pd.Series([turns], dtype="int32"),
                     "chars": pd.Series([chars], dtype="int64"),
-                    "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                    "last_ts": [_from_epoch_ms(last_ms, tz)],
                 }
             )
             return
@@ -77,7 +94,7 @@ def _close_sessions(gap_ms: int):
             chars += int(pdf["text"].fillna("").str.len().sum())
             batch_max = pdf["ts"].max()
             if pd.notna(batch_max):
-                last_ms = max(last_ms, int(batch_max.value // 1_000_000))
+                last_ms = max(last_ms, _to_epoch_ms(batch_max, tz))
         state.update((turns, chars, last_ms))
         if last_ms > 0:
             # a batch of only null-ts rows leaves last_ms unset; arming
@@ -103,19 +120,24 @@ def conversation_sessions(
     """transcripts stream -> closed-conversation summaries.
 
     ``stream_df`` needs (conv_id, text, ts); the watermark on ``ts``
-    both bounds late data and drives the event-time timeouts."""
+    both bounds late data and drives the event-time timeouts.  The
+    session timezone is captured at plan time so the pandas-side
+    epoch arithmetic stays correct on non-UTC sessions."""
     n, unit = gap.split()
     gap_ms = int(n) * {
         "second": 1_000, "seconds": 1_000,
         "minute": 60_000, "minutes": 60_000,
         "hour": 3_600_000, "hours": 3_600_000,
     }[unit]
+    tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
     return (
         stream_df.where(F.col("ts").isNotNull())
         .withWatermark("ts", gap)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _close_sessions(gap_ms),
+            _close_sessions(gap_ms, tz),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

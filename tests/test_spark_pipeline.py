@@ -86,22 +86,36 @@ def test_resumable_sink_and_lineage(spark, tmp_path):
 
     out_dir = str(tmp_path / "out")
     t = make_transcripts(spark)
+    prev_ovr = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", None
+    )
     lineage = run_extraction_job(
         spark, t, out_dir, n_buckets=4, buckets_per_batch=2, resume=True
     )
-    assert lineage.count() >= 1
-    done = completed_buckets(spark, out_dir)
-    assert done  # every non-empty bucket committed
+    # EVERY scheduled bucket commits a lineage row — empty ones
+    # zero-filled — or resume could never converge to a no-op
+    assert lineage.count() == 4
+    assert completed_buckets(spark, out_dir) == {0, 1, 2, 3}
+    # the per-job overwrite-mode override is restored afterwards
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        == prev_ovr
+    )
 
     # resume is a no-op when all buckets are done: lineage row count stable
     n_before = lineage.count()
     run_extraction_job(
         spark, t, out_dir, n_buckets=4, buckets_per_batch=2, resume=True
     )
-    import pyspark
-
     lineage2 = spark.read.parquet(f"{out_dir}/_lineage")
     assert lineage2.count() == n_before
+
+    # resuming under a DIFFERENT bucketing is refused loudly — the old
+    # bucket ids would silently mis-assign rows under the new hash
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        completed_buckets(spark, out_dir, n_buckets=8)
 
     result = spark.read.parquet(out_dir)
     assert result.count() == 4
@@ -487,3 +501,33 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bktest.turns")
         spark.sql("DROP TABLE IF EXISTS bktest.refs")
         spark.sql("DROP DATABASE IF EXISTS bktest")
+
+
+def test_extract_carry_columns(spark):
+    """carry= passes input columns through the 1:1 Arrow stage
+    verbatim (event-time ts for streaming watermarks, or any caller
+    metadata); colliding names are rejected loudly."""
+    import datetime
+
+    import pytest as _pytest
+
+    from pdfextract_spark.plans.extract import extract
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("c0", i, "user", t, base + datetime.timedelta(seconds=i))
+        for i, t in enumerate(TEXTS)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "ts timestamp",
+    )
+    out = extract(df, want=("references",), carry=("ts",))
+    assert out.columns[-1] == "ts"
+    got = {r["turn_idx"]: r["ts"] for r in out.collect()}
+    assert got == {
+        i: base + datetime.timedelta(seconds=i) for i in range(len(TEXTS))
+    }
+    with _pytest.raises(ValueError, match="collide"):
+        extract(df, carry=("role",))

@@ -116,8 +116,12 @@ def test_streaming_conv_metrics_plan_is_valid(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     _drop(spark, in_dir, 0, 2)
     src = spark.readStream.schema(TRANSCRIPT_DDL).parquet(in_dir)
-    rolled = streaming_conv_metrics(extract_stream(src))
+    rolled = streaming_conv_metrics(extract_stream(src, carry=("ts",)))
     assert rolled.isStreaming
+    # event-time contract: a stream without the ts column is rejected
+    # loudly instead of silently windowing on processing time
+    with pytest.raises(ValueError, match="event-time"):
+        streaming_conv_metrics(extract_stream(src))
     q = (
         rolled.writeStream.format("memory")
         .queryName("conv_metrics_t")
@@ -229,6 +233,10 @@ def test_streaming_dedup_exact_drops_watermark_dups(spark, tmp_path):
         ("c0", 1, "user", "shared   Text", None, base + datetime.timedelta(seconds=1)),
         ("c1", 2, "user", "shared text", None, base + datetime.timedelta(seconds=2)),
         ("c1", 3, "user", "unique text two", None, base + datetime.timedelta(seconds=3)),
+        # NULL-text rows (tool turns) are NOT duplicates of each other:
+        # both must survive (a NULL dedup key would collapse them)
+        ("c2", 4, "tool", None, "search", base + datetime.timedelta(seconds=4)),
+        ("c2", 5, "tool", None, "search", base + datetime.timedelta(seconds=5)),
     ]
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(in_dir)
     stream = (
@@ -247,4 +255,4 @@ def test_streaming_dedup_exact_drops_watermark_dups(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     got = sorted(r["turn_idx"] for r in out.collect())
     # turn 2 ('shared text') is a normalized duplicate of turn 1
-    assert got == [0, 1, 3]
+    assert got == [0, 1, 3, 4, 5]  # both NULL-text tool turns survive
