@@ -180,6 +180,8 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     fence: bool = True,
+    max_bucket_size: int | None = None,
+    stats: dict | None = None,
     **kw,
 ) -> DataFrame:
     """Near-dup candidate pairs from MinHash LSH bands (distinct
@@ -190,6 +192,21 @@ def lsh_candidate_pairs(
     use ``lsh_star_edges``/``lsh_dedup_clusters`` for LSH-connectivity
     dedup, or ``near_dup_dedup`` (which collapses exact duplicates
     first) for the Jaccard-verified flavor.
+
+    ``max_bucket_size`` bounds that blow-up explicitly: buckets
+    holding more than this many docs are EXCLUDED from the pairwise
+    join, a ``UserWarning`` reports how many buckets were dropped
+    (with the largest size and the pair count avoided), and the same
+    numbers land in ``stats`` under ``lsh_oversized_buckets`` /
+    ``lsh_max_bucket_size_seen`` / ``lsh_pairs_avoided``.  Docs in a
+    dropped bucket can still pair through their OTHER bands, so this
+    trades bounded recall loss on pathological buckets for a hard
+    O(max_bucket_size^2)-per-bucket work bound — the knob a 100-TB
+    run sets after ``lsh_star_edges``'s ``bucket_size`` diagnostic
+    shows a distinct-text mega-bucket.  Checking the cap costs one
+    bounded driver action over the (band, bucket) aggregate (it must
+    be eager to warn loudly); ``None`` (default) keeps the exact
+    uncapped semantics with zero extra work.
 
     The band table is materialized once behind a checkpoint fence
     (``fence=True``, default): the self-join otherwise re-evaluates the
@@ -202,6 +219,48 @@ def lsh_candidate_pairs(
     bands = minhash_bands(df, text_col, id_col, **kw)
     if fence:
         bands = _fence(bands)
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "band_hash").agg(
+            F.count("*").alias("_bsz")
+        )
+        over = sizes.where(F.col("_bsz") > max_bucket_size)
+        row = over.agg(
+            F.count("*").alias("n"),
+            F.max("_bsz").alias("mx"),
+            F.sum(F.col("_bsz") * (F.col("_bsz") - 1) / 2)
+            .cast("bigint")
+            .alias("avoided"),
+        ).collect()[0]
+        if stats is not None:
+            stats["lsh_oversized_buckets"] = int(row["n"])
+            stats["lsh_max_bucket_size_seen"] = (
+                int(row["mx"]) if row["mx"] is not None else 0
+            )
+            stats["lsh_pairs_avoided"] = (
+                int(row["avoided"]) if row["avoided"] is not None else 0
+            )
+        if row["n"]:
+            import warnings
+
+            warnings.warn(
+                f"lsh_candidate_pairs: {row['n']} band bucket(s) exceed "
+                f"max_bucket_size={max_bucket_size} (largest holds "
+                f"{row['mx']} docs) and were excluded from pairwise "
+                f"candidate generation, avoiding {row['avoided']} "
+                f"verify pairs; affected docs can still pair via other "
+                f"bands.  Inspect lsh_star_edges(...)'s bucket_size to "
+                f"understand the distribution.",
+                UserWarning,
+                stacklevel=2,
+            )
+            # the collected count says whether the oversized-key set
+            # fits a broadcast (it almost always does — each key holds
+            # > max_bucket_size docs, so there can't be many); fall
+            # back to a shuffle anti-join past ~10^6 keys
+            keys = over.select("band", "band_hash")
+            if int(row["n"]) <= 1_000_000:
+                keys = F.broadcast(keys)
+            bands = bands.join(keys, ["band", "band_hash"], "left_anti")
     l = bands.alias("l")
     r = bands.alias("r")
     return (
@@ -1023,6 +1082,7 @@ def near_dup_dedup(
     max_iter: int = 20,
     fence: bool = True,
     stats: dict | None = None,
+    max_bucket_size: int | None = None,
     **lsh_kw,
 ) -> DataFrame:
     """The full production near-dup pipeline as one operator:
@@ -1054,8 +1114,16 @@ def near_dup_dedup(
     Honest residual bound: a band bucket holding B mutually-DISTINCT
     texts still emits B^2/2 verify pairs (star edges cannot replace
     the pairwise stage under Jaccard verification, since only
-    hub-member pairs would be verified); run ``lsh_star_edges`` for
-    its ``bucket_size`` diagnostic when that distribution is in doubt.
+    hub-member pairs would be verified).  ``max_bucket_size`` closes
+    that hole explicitly: oversized distinct-text buckets are excluded
+    from candidate generation with a loud ``UserWarning`` and
+    ``stats`` counters (``lsh_oversized_buckets`` /
+    ``lsh_max_bucket_size_seen`` / ``lsh_pairs_avoided``) — a hard
+    per-bucket work bound traded against recall on exactly those
+    pathological buckets (members can still pair via their other
+    bands).  Default ``None`` keeps exact semantics; run
+    ``lsh_star_edges`` for its ``bucket_size`` diagnostic when the
+    distribution is in doubt, then set the cap.
 
     Storage lifetime: the exact-group table (one narrow row per
     DISTINCT text — the deduped corpus, small exactly where this
@@ -1096,7 +1164,15 @@ def near_dup_dedup(
     canon = groups.select(
         F.col("_keep").alias(id_col), F.col("_ktext").alias(text_col)
     )
-    pairs = lsh_candidate_pairs(canon, text_col, id_col, fence=fence, **lsh_kw)
+    pairs = lsh_candidate_pairs(
+        canon,
+        text_col,
+        id_col,
+        fence=fence,
+        max_bucket_size=max_bucket_size,
+        stats=stats,
+        **lsh_kw,
+    )
     verified = jaccard_pairs(
         canon, pairs, text_col, id_col, k=k, fence=fence
     ).where(F.col("jaccard") >= jaccard_threshold)

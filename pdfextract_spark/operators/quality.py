@@ -229,15 +229,30 @@ def email_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(EMAIL_RE))
 
 
-# --- PII scrubbing (phones, IPv4) ----------------------------------------
-# Both patterns are RE2-safe (no backrefs, ASCII \d and \b), so Java
-# regex (Spark) and RE2 (DuckDB) match identically.  Redaction order
-# matters: URL -> email -> IP -> phone, so an address inside a URL is
-# consumed by the URL token and an IP is never half-eaten by the
-# looser phone pattern (placeholder tokens contain no digits).
+# --- PII scrubbing (phones, cards, IPv4) ----------------------------------
+# All patterns are RE2-safe (no backrefs/lookaround, ASCII \d and \b),
+# so Java regex (Spark) and RE2 (DuckDB) match identically.  Redaction
+# order matters: URL -> email -> IP -> card -> phone, so an address
+# inside a URL is consumed by the URL token, an IP is never half-eaten
+# by the looser phone pattern, and a 16-digit card never leaves a
+# phone-shaped tail (placeholder tokens contain no digits).
+#
+# PHONE_RE anchors the LEFT side with a captured (^|[^\d]) guard — RE2
+# has no lookbehind, so the guard character is consumed and must be
+# re-emitted via the $1 / \1 backreference in the replacement
+# (PHONE_REPL below; mirror with '\1<PHONE>' in SQL engines).  Without
+# it the trailing 10-12 digits of any longer digit run (order ids,
+# hashes, timestamps) matched and got redacted; with it a 13+-digit
+# run never matches (max consumable is 12 and the trailing \b forbids
+# stopping mid-run), which the unit test pins.
 
 IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-PHONE_RE = r"(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b"
+PHONE_BODY_RE = r"(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b"
+PHONE_RE = r"(^|[^\d])" + PHONE_BODY_RE
+# 16-digit card-shaped runs, contiguous or in 4-groups ('1234 5678
+# 9012 3456' / '1234-5678-9012-3456'); \b on BOTH sides keeps longer
+# digit runs untouched (no position inside a run is a word boundary)
+CARD_RE = r"\b(?:\d{4}[ -]?){3}\d{4}\b"
 
 
 def scrub_pii(
@@ -246,15 +261,21 @@ def scrub_pii(
     email_token: str = "<EMAIL>",
     ip_token: str = "<IP>",
     phone_token: str = "<PHONE>",
+    card_token: str = "<CARD>",
 ) -> Column:
     """Full redaction pass for training-data hygiene: URLs, e-mail
-    addresses, IPv4 addresses, then phone-shaped digit runs, each
-    replaced by a placeholder token.  Pure regex projections — zero
-    Python, zero shuffles."""
+    addresses, IPv4 addresses, 16-digit card-shaped runs, then
+    phone-shaped digit runs, each replaced by a placeholder token.
+    Digit runs of 13+ that are neither card- nor IP-shaped (order
+    ids, hashes, timestamps) are intentionally left intact — the
+    phone pattern is left-anchored so it cannot redact the tail of a
+    longer run.  Pure regex projections — zero Python, zero
+    shuffles."""
     clean = scrub_urls_emails(col, url_token, email_token)
     clean = F.regexp_replace(clean, IPV4_RE, _quote_replacement(ip_token))
+    clean = F.regexp_replace(clean, CARD_RE, _quote_replacement(card_token))
     return F.regexp_replace(
-        clean, PHONE_RE, _quote_replacement(phone_token)
+        clean, PHONE_RE, "$1" + _quote_replacement(phone_token)
     )
 
 
@@ -264,7 +285,14 @@ def ip_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(IPV4_RE))
 
 
+def card_count(col: Column) -> Column:
+    """Raw 16-digit card-shaped matches (count on the IP-scrubbed text
+    for counts disjoint from IPv4 addresses)."""
+    return F.regexp_count(col, F.lit(CARD_RE))
+
+
 def phone_count(col: Column) -> Column:
-    """Raw phone-shaped matches (count on the IP-scrubbed text for
-    counts disjoint from IPv4 addresses)."""
+    """Raw phone-shaped matches (count on the card-scrubbed text for
+    counts disjoint from IPv4/card runs).  Left-anchored like the
+    scrub: the tail of a 13+-digit run does not count."""
     return F.regexp_count(col, F.lit(PHONE_RE))

@@ -114,6 +114,15 @@ def bm25_scores(
     one query term, with the non-negative idf variant
     ``ln(1 + (N - df_t + 0.5) / (df_t + 0.5))``.
 
+    Query terms are validated against the tokenizer's domain: each is
+    normalized exactly like corpus tokens (lowercase, collapsed
+    whitespace), an empty term raises, and a MULTI-WORD term raises —
+    the corpus relation is (doc, single token, tf), so a phrase can
+    never match and silently scoring it as zero would hide the bug.
+    A term repeated in ``query_terms`` weights its contribution by
+    its query-term frequency (the standard BM25 qtf factor), so
+    duplicates are honored, not silently collapsed.
+
     The query-term filter lands on the fenced count table BEFORE both
     the doc-frequency aggregation and the score join, so the joins
     move only matching rows; df_t is bounded by ``len(query_terms)``
@@ -121,7 +130,39 @@ def bm25_scores(
     avgdl over documents with >= 1 token (the only ones the count
     table holds) — ride as a broadcast single-row frame: no
     driver-side action, the plan composes lazily."""
-    terms = [t.lower() for t in query_terms]
+    from collections import Counter
+
+    normed = []
+    for t in query_terms:
+        nt = " ".join(str(t).lower().split())
+        if not nt:
+            raise ValueError(
+                f"query term {t!r} is empty after normalization"
+            )
+        if " " in nt:
+            raise ValueError(
+                f"multi-word query term {t!r}: the corpus is tokenized "
+                f"on whitespace, so pass individual tokens "
+                f"(e.g. {nt.split()!r})"
+            )
+        normed.append(nt)
+    if not normed:
+        raise ValueError("query_terms is empty")
+    qtf = Counter(normed)
+    terms = list(qtf)
+    if any(c > 1 for c in qtf.values()):
+        qtf_weight = F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for t, c in qtf.items()
+                    for x in (F.lit(t), F.lit(float(c)))
+                ]
+            ),
+            F.col("term"),
+        )
+    else:
+        qtf_weight = F.lit(1.0)
     per_doc, dl = _term_counts(df, text_col, id_col, fence)
     matched = per_doc.where(F.col("term").isin(terms))
     hits = matched.join(dl, id_col)
@@ -147,5 +188,5 @@ def bm25_scores(
         hits.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(F.sum(idf * tf_part).alias("bm25"))
+        .agg(F.sum(qtf_weight * idf * tf_part).alias("bm25"))
     )

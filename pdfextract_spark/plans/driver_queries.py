@@ -2825,7 +2825,10 @@ def scrub_urls_emails(spark, sf_dir):
              text || ' Call +1 415-555-' ||
              lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
              ' or ping 10.' || (doc_id % 256) || '.0.' ||
-             (doc_id % 100) || ' today.' AS text
+             (doc_id % 100) || ' card 4111-1111-1111-' ||
+             lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+             ' ref 9' || lpad((doc_id % 100000)::VARCHAR, 12, '0') ||
+             ' today.' AS text
       FROM documents
     ),
     s AS (
@@ -2836,26 +2839,37 @@ def scrub_urls_emails(spark, sf_dir):
                '<EMAIL>', 'g'),
                '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS no_ip
       FROM t
+    ),
+    s2 AS (
+      SELECT doc_id, text, no_ip,
+             regexp_replace(no_ip,
+               '\b(?:\d{4}[ -]?){3}\d{4}\b', '<CARD>', 'g') AS no_card
+      FROM s
     )
     SELECT doc_id,
            len(regexp_extract_all(text,
              '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::INT AS n_ips,
            len(regexp_extract_all(no_ip,
-             '(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b'
+             '\b(?:\d{4}[ -]?){3}\d{4}\b'))::INT AS n_cards,
+           len(regexp_extract_all(no_card,
+             '(^|[^\d])(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b'
            ))::INT AS n_phones,
-           md5(regexp_replace(no_ip,
-             '(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b',
-             '<PHONE>', 'g')) AS clean_hash
-    FROM s
+           md5(regexp_replace(no_card,
+             '(^|[^\d])(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b',
+             '\1<PHONE>', 'g')) AS clean_hash
+    FROM s2
     """,
 )
 def scrub_pii(spark, sf_dir):
     """Full PII redaction (operators/quality.scrub_pii): URL -> email
-    -> IPv4 -> phone placeholder tokens, all RE2-safe patterns so the
-    DuckDB oracle matches byte-for-byte; per-doc synthetic suffix
-    (doc_id-derived phone + IP) guarantees every row exercises both
-    new patterns; clean_hash pins the exact redacted text.  Pure
-    regex projections — zero Python, zero shuffles."""
+    -> IPv4 -> 16-digit card -> LEFT-ANCHORED phone placeholder
+    tokens, all RE2-safe patterns so the DuckDB oracle matches
+    byte-for-byte (the phone anchor is a captured (^|[^\\d]) guard
+    re-emitted via $1 / \\1 — RE2 has no lookbehind); per-doc
+    synthetic suffix (doc_id-derived phone + IP + card + a 13-digit
+    order-ref run that must SURVIVE redaction) exercises every
+    pattern AND the long-run no-match contract in the value hash.
+    Pure regex projections — zero Python, zero shuffles."""
     from ..operators import quality as Qx
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2869,6 +2883,10 @@ def scrub_pii(spark, sf_dir):
             (F.col("doc_id") % 256).cast("string"),
             F.lit(".0."),
             (F.col("doc_id") % 100).cast("string"),
+            F.lit(" card 4111-1111-1111-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ref 9"),
+            F.lpad((F.col("doc_id") % 100000).cast("string"), 12, "0"),
             F.lit(" today."),
         ).alias("text"),
     )
@@ -2881,12 +2899,14 @@ def scrub_pii(spark, sf_dir):
         Qx.IPV4_RE,
         "<IP>",
     )
+    no_card = F.regexp_replace(no_ip, Qx.CARD_RE, "<CARD>")
     return t.select(
         "doc_id",
         Qx.ip_count(F.col("text")).cast("int").alias("n_ips"),
-        Qx.phone_count(no_ip).cast("int").alias("n_phones"),
+        Qx.card_count(no_ip).cast("int").alias("n_cards"),
+        Qx.phone_count(no_card).cast("int").alias("n_phones"),
         F.md5(
-            F.regexp_replace(no_ip, Qx.PHONE_RE, "<PHONE>")
+            F.regexp_replace(no_card, Qx.PHONE_RE, "$1<PHONE>")
         ).alias("clean_hash"),
     )
 

@@ -306,9 +306,21 @@ def extract(
             if f.name not in ARTIFACT_FIELDS or f.name in selected
         ]
     )
-    clash = [c for c in carry if c in computed.fieldNames()]
+    # reject carries colliding with OUTPUT fields, and also with the
+    # base INPUT selection below — carry=("text",) would otherwise put
+    # a duplicate 'text' column into src.select and the stage would
+    # only work by coincidence of Arrow's duplicate-field-name lookup
+    base_inputs = ("conv_id", "turn_idx", "role", "text")
+    clash = [
+        c
+        for c in carry
+        if c in computed.fieldNames() or c in base_inputs
+    ]
     if clash:
-        raise ValueError(f"carry columns collide with output: {clash}")
+        raise ValueError(
+            f"carry columns collide with output or base input "
+            f"(conv_id/turn_idx/role/text): {clash}"
+        )
     schema = StructType(
         list(computed.fields) + [df.schema[c] for c in carry]
     )

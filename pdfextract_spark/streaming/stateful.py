@@ -55,8 +55,21 @@ def _to_epoch_ms(ts: pd.Timestamp, tz: str) -> int:
     ``spark.sql.session.timeZone``, but setTimeoutTimestamp compares
     true epoch ms — treating the wall-clock value as UTC would arm the
     timeout off by the zone offset (west of UTC it can land BEFORE the
-    watermark and kill the query)."""
-    return int(pd.Timestamp(ts).tz_localize(tz).value // 1_000_000)
+    watermark and kill the query).
+
+    DST boundaries need explicit policies (the pandas defaults RAISE,
+    which would kill the streaming query from inside the state
+    function): a wall clock in the fall-back repeated hour resolves to
+    the DST (earlier) instant — matching how java.time parses
+    ambiguous local times — and a wall clock in the spring-forward gap
+    (which Spark itself never emits, but replayed/synthetic data can)
+    shifts forward to the first valid instant."""
+    return int(
+        pd.Timestamp(ts)
+        .tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
+        .value
+        // 1_000_000
+    )
 
 
 def _from_epoch_ms(ms: int, tz: str) -> pd.Timestamp:

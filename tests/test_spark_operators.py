@@ -1236,6 +1236,94 @@ def test_near_dup_dedup_end_to_end_matches_brute_force(spark):
     assert sum(1 for c, canon in out.values() if canon) == len(roots)
 
 
+def test_lsh_max_bucket_size_caps_distinct_text_mega_bucket(spark):
+    """10^4 mutually-DISTINCT lightly-perturbed boilerplate docs (the
+    pathological case exact-collapse cannot absorb: every text differs
+    by one trailing token, so all 10^4 survive to LSH and most share
+    band buckets).  Uncapped, those buckets imply tens of millions of
+    B^2/2 verify pairs; with ``max_bucket_size`` the oversized buckets
+    are excluded LOUDLY — UserWarning + stats counters — and the
+    emitted candidate-pair count stays bounded."""
+    import warnings as W
+
+    base = (
+        "terms of service boilerplate all rights reserved contact us "
+        "privacy policy cookie settings sign in register help center "
+        "about careers press blog developers advertise partners status"
+    )
+    n_docs = 10_000
+    df = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(base + " uniq"), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    stats: dict = {}
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        capped = dedup.lsh_candidate_pairs(
+            df,
+            num_hashes=16,
+            band_size=4,
+            k=3,
+            max_bucket_size=100,
+            stats=stats,
+        ).count()
+    msgs = [str(w.message) for w in caught if w.category is UserWarning]
+    assert any("max_bucket_size=100" in m for m in msgs), msgs
+    assert stats["lsh_oversized_buckets"] >= 1
+    assert stats["lsh_max_bucket_size_seen"] > 100
+    # the mega buckets alone imply millions of avoided B^2/2 pairs...
+    assert stats["lsh_pairs_avoided"] > 1_000_000
+    # ...while the capped emission is bounded by the surviving small
+    # buckets (each <= 100 docs)
+    assert capped < 500_000
+    assert capped < stats["lsh_pairs_avoided"]
+
+
+def test_near_dup_dedup_max_bucket_size_keeps_output_shape(spark):
+    """The cap threads through near_dup_dedup: with a tiny cap on a
+    perturbed-boilerplate corpus the pipeline still returns exactly
+    one row per input doc with a consistent canonical-per-cluster
+    invariant (recall on the capped buckets is the documented trade),
+    and the stats dict carries both the LSH-cap counters and the CC
+    counters."""
+    import warnings as W
+
+    base = "near duplicate boilerplate page body text repeated across the site"
+    rows = [(i, f"{base} tail{i}") for i in range(300)]
+    # plus one exact-dup pair that must stay merged regardless of cap
+    rows += [(1000, "an exact duplicate text"), (1001, "an exact duplicate text")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    stats: dict = {}
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        out = dedup.near_dup_dedup(
+            df,
+            num_hashes=16,
+            band_size=4,
+            k=3,
+            max_bucket_size=10,
+            stats=stats,
+        ).collect()
+    assert any(w.category is UserWarning for w in caught)
+    assert stats["lsh_oversized_buckets"] >= 1
+    assert len(out) == len(rows)
+    assert len({r["doc_id"] for r in out}) == len(rows)
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for c, members in by_cluster.items():
+        canons = [r for r in members if r["is_canonical"]]
+        assert len(canons) == 1 and canons[0]["doc_id"] == c == min(
+            r["doc_id"] for r in members
+        )
+    # exact duplicates collapse BEFORE LSH, so the cap can never split them
+    assert (
+        next(r["cluster"] for r in out if r["doc_id"] == 1001) == 1000
+    )
+
+
 def test_substring_span_dedup(spark):
     """Exact substring (duplicated n-gram span) dedup at n=4: a
     5-token run shared by docs 1 and 2 (case/whitespace-normalized on
@@ -1460,6 +1548,31 @@ def test_bm25_and_tfidf_match_hand_computation(spark):
     assert set(got) == {1, 2}  # doc 3 matches nothing, doc 4 is NULL
     assert abs(got[1] - want1) < 1e-9 and abs(got[2] - want2) < 1e-9
 
+    # standard qtf semantics: a repeated query term doubles its
+    # contribution instead of silently collapsing
+    got_q = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ["cat", "cat", "dog"]).collect()
+    }
+    assert abs(got_q[1] - (2 * idf_cat * tfp(2, 3) + idf_dog * tfp(1, 3))) < 1e-9
+    assert abs(got_q[2] - want2) < 1e-9
+
+    # query terms are validated against the tokenizer's domain
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multi-word"):
+        bm25_scores(df, ["cat dog"])
+    with _pytest.raises(ValueError, match="empty"):
+        bm25_scores(df, ["   "])
+    with _pytest.raises(ValueError, match="query_terms is empty"):
+        bm25_scores(df, [])
+    # normalization matches corpus tokens: 'CAT ' scores like 'cat'
+    got_n = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ["CAT "]).collect()
+    }
+    assert abs(got_n[1] - idf_cat * tfp(2, 3)) < 1e-9
+
     ti = {
         (r["doc_id"], r["term"]): r
         for r in tf_idf(df).collect()
@@ -1472,20 +1585,27 @@ def test_bm25_and_tfidf_match_hand_computation(spark):
 
 
 def test_scrub_pii_patterns(spark):
-    """PII redaction: URL/email/IPv4/phone each replaced by its token
-    in the documented order (an email inside a URL is consumed by the
-    URL token; IP runs before the looser phone pattern), counts match,
-    and clean text without PII passes through unchanged."""
+    """PII redaction: URL/email/IPv4/card/phone each replaced by its
+    token in the documented order (an email inside a URL is consumed
+    by the URL token; IP and card run before the looser phone
+    pattern), counts match, clean text passes through unchanged, and
+    — the left-anchor contract — a 13+-digit run (order id, hash,
+    timestamp) is never partially redacted."""
     df = spark.createDataFrame(
         [
             (1, "mail a@b.co or https://x.io/a@b.co now"),
             (2, "server 192.168.1.1 then call +1 415-555-0123 ok"),
             (3, "totally clean words only"),
             (4, "dotted 10.0.0.7 and (415) 555-0123 and 555.123.4567"),
+            (5, "order 9000001234567 stays and 123456789012345678 too"),
+            (6, "pay 4111 1111 1111 1111 or 4111-1111-1111-1111 now"),
+            (7, "id 4111111111111111 ok"),
+            (8, "415-555-0123 starts the line"),
         ],
         "doc_id long, text string",
     )
     from pdfextract_spark.operators.quality import (
+        card_count,
         ip_count,
         phone_count,
         scrub_pii,
@@ -1497,6 +1617,7 @@ def test_scrub_pii_patterns(spark):
             "doc_id",
             scrub_pii(F.col("text")).alias("clean"),
             ip_count(F.col("text")).alias("ips"),
+            card_count(F.col("text")).alias("cards"),
             phone_count(F.col("text")).alias("phones"),
         ).collect()
     }
@@ -1506,3 +1627,15 @@ def test_scrub_pii_patterns(spark):
     assert rows[3]["clean"] == "totally clean words only"
     assert rows[4]["clean"] == "dotted <IP> and <PHONE> and <PHONE>"
     assert rows[4]["phones"] == 2
+    # long digit runs survive untouched: no left-anchored match can
+    # start mid-run, and consuming the max 12 digits fails the
+    # trailing \b
+    assert (
+        rows[5]["clean"] == "order 9000001234567 stays and "
+        "123456789012345678 too"
+    )
+    assert rows[5]["phones"] == 0 and rows[5]["cards"] == 0
+    assert rows[6]["clean"] == "pay <CARD> or <CARD> now"
+    assert rows[6]["cards"] == 2
+    assert rows[7]["clean"] == "id <CARD> ok"
+    assert rows[8]["clean"] == "<PHONE> starts the line"

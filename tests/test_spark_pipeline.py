@@ -531,3 +531,43 @@ def test_extract_carry_columns(spark):
     }
     with _pytest.raises(ValueError, match="collide"):
         extract(df, carry=("role",))
+
+
+def test_completed_buckets_error_classification(spark, tmp_path):
+    """Benign 'nothing committed yet' reads return set(): a missing
+    lineage path and an empty lineage dir (crash between mkdir and
+    first task commit).  Any OTHER AnalysisException — e.g. column
+    resolution against an existing table — must propagate: mapping it
+    to set() would silently restart all buckets and append duplicate
+    lineage rows."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from pdfextract_spark.sinks import completed_buckets
+
+    # missing path
+    assert completed_buckets(spark, str(tmp_path / "never_written")) == set()
+    # existing but empty lineage dir
+    empty = tmp_path / "empty_out"
+    (empty / "_lineage").mkdir(parents=True)
+    assert completed_buckets(spark, str(empty)) == set()
+
+    # non-benign AnalysisException propagates (stub reader raises the
+    # kind of resolution error a real-but-broken lineage table would)
+    class _Reader:
+        def option(self, *a):
+            return self
+
+        def parquet(self, path):
+            raise AnalysisException(
+                message="[UNRESOLVED_COLUMN] cannot resolve 'bucket'",
+                errorClass="UNRESOLVED_COLUMN",
+            )
+
+    class _Spark:
+        @property
+        def read(self):
+            return _Reader()
+
+    with _pytest.raises(AnalysisException, match="UNRESOLVED_COLUMN"):
+        completed_buckets(_Spark(), str(tmp_path / "whatever"))

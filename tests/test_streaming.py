@@ -256,3 +256,35 @@ def test_streaming_dedup_exact_drops_watermark_dups(spark, tmp_path):
     got = sorted(r["turn_idx"] for r in out.collect())
     # turn 2 ('shared text') is a normalized duplicate of turn 1
     assert got == [0, 1, 3, 4, 5]  # both NULL-text tool turns survive
+
+
+def test_epoch_ms_helpers_survive_dst_boundaries():
+    """The tz helpers must not raise inside applyInPandasWithState on
+    DST-observing session zones: a wall clock in the fall-back
+    repeated hour resolves deterministically to the DST (earlier)
+    instant, a spring-forward-gap wall clock shifts forward to the
+    first valid instant, and round-tripping an unambiguous timestamp
+    is exact."""
+    import pandas as pd
+
+    from pdfextract_spark.streaming.stateful import (
+        _from_epoch_ms,
+        _to_epoch_ms,
+    )
+
+    tz = "America/New_York"
+    # 2025-11-02 01:30 happened twice (EDT then EST); ambiguous=True
+    # picks the DST occurrence: 01:30 EDT = 05:30 UTC
+    amb = pd.Timestamp("2025-11-02 01:30:00")
+    ms = _to_epoch_ms(amb, tz)
+    assert ms == int(pd.Timestamp("2025-11-02 05:30:00", tz="UTC").value // 1e6)
+    # 2025-03-09 02:30 never existed (clocks jumped 02:00 -> 03:00);
+    # shift_forward lands on 03:00 EDT = 07:00 UTC
+    gap = pd.Timestamp("2025-03-09 02:30:00")
+    ms = _to_epoch_ms(gap, tz)
+    assert ms == int(pd.Timestamp("2025-03-09 07:00:00", tz="UTC").value // 1e6)
+    # unambiguous instants round-trip exactly, both directions
+    plain = pd.Timestamp("2025-06-15 12:34:56.789")
+    assert _from_epoch_ms(_to_epoch_ms(plain, tz), tz) == plain
+    utc_noon = pd.Timestamp("2025-06-15 16:34:56.789")  # = plain in UTC
+    assert _to_epoch_ms(plain, tz) == _to_epoch_ms(utc_noon, "UTC")
