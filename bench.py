@@ -44,10 +44,18 @@ def sf_of(sf_dir: str) -> float:
 
 # Pinned bench protocol: the suite below plus the two extraction rows
 # is the FIXED 18-query manifest recorded in every BENCH_r{N}.json —
-# hold it stable so rounds compare query-by-query — and every
-# per-query time is min-of-MIN_OF_N (noise-robust on the shared host;
-# scaling RATIOS use time-paired rounds instead, tools/scaling.py).
-MIN_OF_N = 2
+# hold it stable so rounds compare query-by-query.
+# Round 5 on: the suite runs in WINDOWS separate passes, each window
+# timing every Spark query once AND its DuckDB oracle once, so each
+# query gets a per-window (spark, duck) PAIR — the shared host swings
+# 2-5x between windows, so cross-engine ratios are only honest when
+# both sides come from the same window.  The headline "queries"/
+# "duckdb_sec" fields stay min-across-windows (comparable to the
+# min-of-N of earlier rounds); "bands" carries the full per-window
+# samples plus medians and the same-window ratio list.  Scaling
+# RATIOS use time-paired rounds instead — tools/scaling.py.
+WINDOWS = int(os.environ.get("SPARK_GRAFT_BENCH_WINDOWS", "3"))
+MIN_OF_N = WINDOWS  # alias kept for callers that import it
 
 # Headline operator queries benched besides the flagship extraction.
 BENCH_QUERIES = [
@@ -167,39 +175,16 @@ def main() -> None:
         )
         warm.write.format("noop").mode("overwrite").save()
 
-        # min of 2 runs per query: the sandbox host is shared and its
-        # effective CPU budget fluctuates 2-5x, so a single sample can
-        # be dominated by a noise burst; the minimum is a noise-robust
-        # estimator for these independent per-query timings (scaling
-        # RATIOS use time-paired rounds instead — tools/scaling.py)
         # fence_scope: fenced operators (LSH band / shingle / exact-
         # group tables, CC round checkpoints) release their checkpoint
         # storage after each timed run instead of accumulating across
         # the whole suite + the DuckDB denominator pass.  The release
         # happens AFTER the timed window, so timings are unchanged.
-        from pdfextract_spark.operators.fence import fence_scope
+        import statistics
 
-        for name in BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4:
-            best = None
-            for _ in range(MIN_OF_N):
-                with fence_scope():
-                    t0 = time.time()
-                    QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            queries[name] = round(best, 3)
-
-    total = round(sum(queries.values()), 3)
-    extras: dict = {}
-    if not extract_only:
-        # honesty denominator for the most expensive operator query:
-        # DuckDB runs the plain theta-join oracle on the same parquet
-        # (min of the same N), so j1's grid-join time has a single-node
-        # reference point in every BENCH record
         import duckdb
 
+        from pdfextract_spark.operators.fence import fence_scope
         from pdfextract_spark.plans.driver_queries import ORACLES
 
         con = duckdb.connect()
@@ -212,29 +197,51 @@ def main() -> None:
                 f"'{sf_dir}/{tname}.parquet'"
             )
 
-        def duck_min(name: str) -> float:
-            best_d = None
-            for _ in range(MIN_OF_N):
+        names = BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4
+        spark_w: dict[str, list[float]] = {n: [] for n in names}
+        duck_w: dict[str, list[float]] = {n: [] for n in names}
+        for _w in range(WINDOWS):
+            for name in names:
+                with fence_scope():
+                    t0 = time.time()
+                    QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    spark_w[name].append(time.time() - t0)
+            for name in names:
                 t0 = time.time()
                 con.sql(ORACLES[name]).fetchall()
-                dt = time.time() - t0
-                best_d = dt if best_d is None else min(best_d, dt)
-            return best_d
+                duck_w[name].append(time.time() - t0)
 
-        # per-query DuckDB denominators for EVERY benched operator
-        # query (each one's own exact-value oracle on the same
-        # parquet, min of the same N) — round-over-round ratio
-        # tracking needs the denominator in the same record, not just
-        # for the round-3 additions (round-3 review item #8)
+        bands = {}
+        for name in names:
+            sw, dw = spark_w[name], duck_w[name]
+            ratios = [s / d for s, d in zip(sw, dw)]
+            queries[name] = round(min(sw), 3)
+            bands[name] = {
+                "spark": [round(x, 3) for x in sw],
+                "duckdb": [round(x, 3) for x in dw],
+                "spark_median": round(statistics.median(sw), 3),
+                "duckdb_median": round(statistics.median(dw), 3),
+                "ratio_by_window": [round(r, 2) for r in ratios],
+                "ratio_min": round(min(ratios), 2),
+                "ratio_median": round(statistics.median(ratios), 2),
+            }
+
+    total = round(sum(queries.values()), 3)
+    extras: dict = {}
+    if not extract_only:
+        extras["windows"] = WINDOWS
+        extras["bands"] = bands
+        # min-across-windows denominators keep the field shape earlier
+        # rounds recorded; the same-window pairing lives in "bands"
         extras["duckdb_sec"] = {
-            name: round(duck_min(name), 3)
-            for name in BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4
+            name: round(min(duck_w[name]), 3) for name in names
         }
-        best_d = extras["duckdb_sec"]["j1_interval_join"]
-        extras["j1_duckdb_sec"] = best_d
-        extras["j1_spark_over_duckdb"] = round(
-            queries["j1_interval_join"] / best_d, 2
-        )
+        extras["j1_duckdb_sec"] = extras["duckdb_sec"]["j1_interval_join"]
+        extras["j1_spark_over_duckdb"] = bands["j1_interval_join"][
+            "ratio_median"
+        ]
     out = {
         "metric": "headline suite wall time (extraction + operators)",
         "value": total,

@@ -20,10 +20,16 @@ Prints one JSON line per run:
   {"query", "mult", "docs", "wall_sec", "docs_per_sec", "clusters",
    "cc_rounds", "peak_rss_mb", "cores"}
 
-Usage: python tools/dedup_scale.py [near_dup|clusters|substring] [mult] [cores]
+Usage: python tools/dedup_scale.py \
+    [near_dup|clusters|substring|retrieval|bloom] [mult] [cores]
 
 The ``substring`` mode runs substring-span dedup (n=8) with its own
-per-class full-coverage invariant — see ``_run_substring``.
+per-class full-coverage invariant — see ``_run_substring``.  The
+round-5 ``retrieval`` mode runs BM25 over the same mirrored corpus
+with an exact-mirror score-equality invariant (``_run_retrieval``);
+``bloom`` builds+merges+probes a Bloom filter at ``mult`` MILLION
+distinct items with a zero-false-negative assertion (``_run_bloom``
+— mult=10 is the canonical 10^7 run; no corpus needed).
 """
 
 from __future__ import annotations
@@ -167,6 +173,192 @@ def _run_substring(spark, corpus, n_docs, mult, cores, sf_dir) -> None:
         )
 
 
+def _run_retrieval(spark, corpus, n_docs, mult, cores, sf_dir) -> None:
+    """BM25 (operators/retrieval.bm25_scores) at M x the sf corpus.
+    Query = the 5 highest-df base-corpus terms (computed OUTSIDE the
+    timed window) + 'mirror' (guaranteed present in every even-mirror
+    suffix).  Invariants (the scale run is also a correctness run):
+
+    - EXACT-copy mirrors (odd m) score IDENTICALLY to their base doc
+      — same text means same tf/dl against the same corpus scalars
+      (tolerance 1e-9 for per-doc float summation order);
+    - every even mirror matches (contains 'mirror'), so scored docs
+      >= the even-mirror count;
+    - scores are finite and positive (non-negative idf variant)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pdfextract_spark.operators import retrieval
+    from pdfextract_spark.operators.fence import fence_scope
+
+    base = corpus.where(F.col("doc_id") < 10_000_000)
+    top = (
+        retrieval.doc_terms(base, fence=False)
+        .groupBy("term")
+        .agg(F.count("*").alias("df_t"))
+        .orderBy(F.desc("df_t"), "term")
+        .limit(5)
+        .collect()
+    )
+    terms = [r["term"] for r in top] + ["mirror"]
+    n_even = corpus.where(
+        (F.col("doc_id") >= 10_000_000)
+        & (F.pmod(F.floor(F.col("doc_id") / 10_000_000), F.lit(2)) == 0)
+    ).count()
+
+    t0 = _time.time()
+    with fence_scope():
+        scores = retrieval.bm25_scores(corpus, terms).cache()
+        agg = scores.agg(
+            F.count("*").alias("scored"),
+            F.sum(
+                (
+                    F.col("bm25").isNull()
+                    | F.isnan("bm25")
+                    | (F.col("bm25") <= 0)
+                ).cast("int")
+            ).alias("bad_score"),
+        ).head()
+        base_sc = scores.where(F.col("doc_id") < 10_000_000).select(
+            F.col("doc_id").alias("base_id"), F.col("bm25").alias("base_bm25")
+        )
+        exact_sc = scores.where(
+            (F.col("doc_id") >= 10_000_000)
+            & (F.pmod(F.floor(F.col("doc_id") / 10_000_000), F.lit(2)) == 1)
+        ).select(
+            F.pmod("doc_id", F.lit(10_000_000)).alias("base_id"), "bm25"
+        )
+        mis = (
+            exact_sc.join(base_sc, "base_id")
+            .where(F.abs(F.col("bm25") - F.col("base_bm25")) > 1e-9)
+            .count()
+        )
+        scores.unpersist()
+    wall = _time.time() - t0
+    ok = agg["bad_score"] == 0 and mis == 0 and agg["scored"] >= n_even
+    print(
+        json.dumps(
+            {
+                "query": "retrieval_bm25",
+                "mult": mult,
+                "docs": n_docs,
+                "scored_docs": agg["scored"],
+                "query_terms": terms,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n_docs / wall, 1),
+                "exact_mirror_score_mismatches": mis,
+                "structure_ok": bool(ok),
+                "peak_rss_mb": _peak_rss_mb(),
+                "cores": cores,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    if not ok:
+        raise SystemExit(
+            f"retrieval structure check FAILED: scored={agg['scored']} "
+            f"bad={agg['bad_score']} mismatches={mis}"
+        )
+
+
+def _run_bloom(spark, n_items: int, cores: int) -> None:
+    """Bloom build/merge/contains at ``n_items`` (default 10^7)
+    DISTINCT items, m = 1<<27 bits / k = 4 (design fp ~0.5%).
+
+    Built as TWO half-filters merged with ``bloom_merge`` (exercising
+    the linear-merge contract at scale), then probed with ALL inserted
+    items plus ``n_items/10`` disjoint non-items in one pass.
+    Invariants: false-NEGATIVE count must be EXACTLY 0 (the bloom
+    contract — any miss on an inserted item fails the run), and the
+    measured false-positive rate on the non-items must stay within
+    3x the design rate."""
+    import math
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pdfextract_spark.operators import sketch
+
+    n_bits = 1 << 27
+    n_hashes = 4
+    items = spark.range(n_items).select(
+        F.concat(F.lit("item:"), F.col("id").cast("string")).alias("v")
+    )
+    non_items = spark.range(n_items // 10).select(
+        F.concat(F.lit("absent:"), F.col("id").cast("string")).alias("v")
+    )
+
+    t0 = _time.time()
+    half_a = sketch.bloom_build(
+        items.where(F.col("v").substr(6, 99).cast("bigint") % 2 == 0),
+        "v", n_bits=n_bits, n_hashes=n_hashes,
+    )
+    half_b = sketch.bloom_build(
+        items.where(F.col("v").substr(6, 99).cast("bigint") % 2 == 1),
+        "v", n_bits=n_bits, n_hashes=n_hashes,
+    )
+    merged = sketch.bloom_merge(half_a, half_b).cache()
+    set_bits = merged.count()
+    build_wall = _time.time() - t0
+
+    t0 = _time.time()
+    probes = items.withColumn("_in", F.lit(True)).unionByName(
+        non_items.withColumn("_in", F.lit(False))
+    )
+    res = sketch.bloom_contains(
+        merged, probes, "v", n_bits=n_bits, n_hashes=n_hashes
+    ).withColumn("_in", F.col("v").startswith("item:"))
+    agg = res.agg(
+        F.sum((F.col("_in") & ~F.col("may_contain")).cast("int")).alias(
+            "false_neg"
+        ),
+        F.sum((~F.col("_in") & F.col("may_contain")).cast("int")).alias(
+            "false_pos"
+        ),
+        F.sum(F.col("_in").cast("int")).alias("n_in"),
+        F.sum((~F.col("_in")).cast("int")).alias("n_out"),
+    ).head()
+    probe_wall = _time.time() - t0
+    merged.unpersist()
+
+    design_fp = (1 - math.exp(-n_hashes * n_items / n_bits)) ** n_hashes
+    fp_rate = agg["false_pos"] / max(agg["n_out"], 1)
+    ok = (
+        agg["false_neg"] == 0
+        and agg["n_in"] == n_items
+        and fp_rate <= 3 * design_fp
+    )
+    print(
+        json.dumps(
+            {
+                "query": "bloom",
+                "items": n_items,
+                "n_bits": n_bits,
+                "n_hashes": n_hashes,
+                "set_bits": set_bits,
+                "build_wall_sec": round(build_wall, 2),
+                "build_items_per_sec": round(n_items / build_wall, 1),
+                "probe_wall_sec": round(probe_wall, 2),
+                "probe_items_per_sec": round(
+                    (agg["n_in"] + agg["n_out"]) / probe_wall, 1
+                ),
+                "false_negatives": agg["false_neg"],
+                "false_positive_rate": round(fp_rate, 6),
+                "design_fp_rate": round(design_fp, 6),
+                "structure_ok": bool(ok),
+                "peak_rss_mb": _peak_rss_mb(),
+                "cores": cores,
+            }
+        )
+    )
+    if not ok:
+        raise SystemExit(
+            f"bloom invariant FAILED: false_neg={agg['false_neg']} "
+            f"fp_rate={fp_rate:.6f} (design {design_fp:.6f})"
+        )
+
+
 def main() -> None:
     query = sys.argv[1] if len(sys.argv) > 1 else "near_dup"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -197,11 +389,21 @@ def main() -> None:
     from pdfextract_spark.operators import dedup
     from pdfextract_spark.operators.fence import fence_scope
 
+    if query == "bloom":
+        # mult doubles as the item count in millions (default 8 -> use
+        # 10 for the canonical 10^7 run)
+        _run_bloom(spark, mult * 1_000_000, cores)
+        return
+
     corpus = build_corpus(spark, sf_dir, mult).cache()
     n_docs = corpus.count()  # materialize input outside the timed window
 
     if query == "substring":
         _run_substring(spark, corpus, n_docs, mult, cores, sf_dir)
+        return
+
+    if query == "retrieval":
+        _run_retrieval(spark, corpus, n_docs, mult, cores, sf_dir)
         return
 
     n_base = corpus.where(F.col("doc_id") < 10_000_000).count()
