@@ -4,4 +4,8 @@ from .extract_stream import (  # noqa: F401
     streaming_conv_metrics,
     streaming_dedup_exact,
 )
+from .bloom_ingest import (  # noqa: F401
+    bloom_ingest_batch,
+    start_bloom_ingest_dedup,
+)
 from .stateful import conversation_sessions  # noqa: F401

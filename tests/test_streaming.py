@@ -288,3 +288,96 @@ def test_epoch_ms_helpers_survive_dst_boundaries():
     assert _from_epoch_ms(_to_epoch_ms(plain, tz), tz) == plain
     utc_noon = pd.Timestamp("2025-06-15 16:34:56.789")  # = plain in UTC
     assert _to_epoch_ms(plain, tz) == _to_epoch_ms(utc_noon, "UTC")
+
+
+def test_bloom_ingest_catches_cross_batch_duplicate_beyond_horizon(
+    spark, tmp_path
+):
+    """The composed ingest: streaming_dedup_exact handles in-horizon
+    copies, the batch-accumulated Bloom filter handles a duplicate
+    arriving HOURS past the 10-minute watermark horizon — the case
+    bounded-state dedup deliberately cannot catch.  Two microbatches
+    (maxFilesPerTrigger=1): batch 0 admits 'boilerplate page' and a
+    unique doc; batch 1 carries an exact copy of 'boilerplate page'
+    2 hours later (state long evicted), a NULL-text tool row (must
+    bypass), and a new doc.  The merged filter must drop exactly the
+    cross-batch copy."""
+    import datetime
+
+    from pdfextract_spark.streaming import start_bloom_ingest_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    bloom_dir = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    b0 = [
+        ("c0", 0, "user", "boilerplate page body text", None, t0),
+        ("c0", 1, "user", "a unique first document", None, t0),
+    ]
+    b1 = [
+        # exact copy, 2 h past a 10-min watermark: in-horizon dedup
+        # state is gone, ONLY the bloom filter can drop it
+        (
+            "c1",
+            2,
+            "user",
+            "boilerplate page body text",
+            None,
+            t0 + datetime.timedelta(hours=2),
+        ),
+        (
+            "c1",
+            3,
+            "tool",
+            None,
+            "search",
+            t0 + datetime.timedelta(hours=2),
+        ),
+        (
+            "c1",
+            4,
+            "user",
+            "a brand new second document",
+            None,
+            t0 + datetime.timedelta(hours=2),
+        ),
+    ]
+    spark.createDataFrame(b0, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = start_bloom_ingest_dedup(
+        stream, out_dir, bloom_dir, ckpt, watermark="10 minutes"
+    )
+    assert q.awaitTermination(180)
+    assert q.exception() is None
+
+    out = spark.read.parquet(out_dir)
+    got = sorted(r["turn_idx"] for r in out.collect())
+    # turn 2 (the cross-batch exact copy) is dropped by the merged
+    # filter; the NULL-text tool turn 3 bypasses and survives
+    assert got == [0, 1, 3, 4]
+    # the filter store accumulated bits from both batches
+    bits = spark.read.parquet(bloom_dir)
+    assert {r["batch_id"] for r in bits.select("batch_id").distinct().collect()} == {0, 1}
+
+    # kernel replay idempotency: re-running batch 1 against the same
+    # stores recomputes the same survivors and overwrites its own
+    # partitions — no duplicate admissions
+    from pdfextract_spark.streaming import bloom_ingest_batch
+
+    replay = spark.createDataFrame(b1, SCHEMA)
+    bloom_ingest_batch(replay, 1, out_dir, bloom_dir)
+    again = sorted(
+        r["turn_idx"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert again == [0, 1, 3, 4]
