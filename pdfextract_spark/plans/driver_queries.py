@@ -3855,50 +3855,58 @@ def p2_drop_spatial(spark, sf_dir):
 # artifact (tools/check_oracle.py over all 79 at 3 SFs — see
 # BASELINE.md) so rotated-out queries keep fresh non-driver evidence.
 #
-# Round-4 window, in order:
-#   1. near_dup_dedup — NEW composed-operator query (exact-collapse ->
-#      LSH/Jaccard over canonicals -> components -> re-attach);
-#   2. the 22 queries whose latest driver row is r02 (rotated out of
-#      the r03 window; fresh rows keep their evidence current);
-#   3. queries whose implementation was touched this round (fence
-#      refactor, rangejoin default, paragraph-dedup + sketch perf);
-#   4. the strongest composites filling the 50-slot window; everything
-#      omitted here stays registered (rows 51+) with r03 rows plus the
-#      full-battery artifact as evidence.
+# Round-5 window, in order:
+#   1. queries whose IMPLEMENTATION changed this round (fused
+#      substring-stats plan + broadcast dup-gram set, PII regex
+#      hardening with a new card pattern and long-run guard, BM25
+#      query-term validation/weighting, near-dup/LSH mega-bucket cap);
+#   2. the 35 queries whose latest driver row is r03 (rotated out of
+#      the r04 window; fresh rows keep their evidence current);
+#   3. the extract-path composites — plans/extract.py's carry-clash
+#      validation changed this round, so every query that runs through
+#      extract() gets a fresh row; the six pipeline_* composites plus
+#      the two projection-contract queries cover that path end-to-end.
+#   Everything omitted stays registered (rows 51+) with its r04 row
+#   plus the committed full-battery artifact (tools/check_oracle.py
+#   over all 85 at 3 SFs + adversarial configs — BASELINE.md) as
+#   evidence; no registered query's latest driver row is older
+#   than r04 after this rotation.
 _GRADE_PRIORITY = [
-    # 1: new this round (near-dup composition + the five SURVEY rows
-    #    that previously had no driver query: S3/S4/S6/S8/P2)
+    # 1: implementation touched in round 5
+    "dedup_substring_stats", "dedup_substring_spans",
+    "dedup_substring_strip", "scrub_pii", "text_bm25",
     "near_dup_dedup", "lsh_dedup_clusters",
-    "dedup_substring_spans", "dedup_substring_stats",
-    "dedup_substring_strip", "sketch_bloom", "text_bm25", "scrub_pii",
-    "pipeline_font_metrics", "pipeline_page_dims", "pipeline_masks",
-    "s8_projection_parity", "p2_drop_spatial",
-    # 2: latest driver row is r02
-    "p1_empty_filter", "p3_w4_title_top1", "p7_p8_flex_threshold",
-    "p9_regex_reject", "a1_exact_key_grouping", "a6_margins_minmax",
-    "a9_ideal_scoring", "a10_second_most_frequent", "a11_argmax_vote",
-    "f1_transliterate", "f2_letter_ratio", "f3_cap_ratio",
-    "f4_year_ratio", "f5_word_count", "f6_name_ratio", "f7_hyphen_join",
-    "f9_bbox_union", "f10_numeric_sequence", "t3_case_split",
-    "w3_ordered_rank", "w5_lag_spacing", "w6_keep_group_max",
-    # 3: implementation touched in round 4
-    "j1_interval_join", "dedup_paragraph_exact", "sketch_count_min",
-    "dedup_duplicate_clusters", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_minhash_bands", "dedup_exact",
-    "dedup_simhash_pairs",
-    # 4: strongest composites filling the window
-    "pipeline_references", "pipeline_titles", "pipeline_regions",
-    "pipeline_metrics", "pipeline_sections",
-    "pipeline_resolved_references",
-    # dropped to fit the 50-slot window (all earned driver rows in r03
-    # and keep full-battery evidence via tools/check_oracle.py):
-    # a12_kmeans_centers, a13_svm_reference_score, dedup_simhash,
-    # quality_score, lang_id_multi, ann_cosine_topk, j6_asof_join,
-    # hypertable_rollup, ann_cosine_topk_ivf (r03 green + recall
-    # benchmark + partition-pruning proof in PLANS.md),
-    # pipeline_conv_rollup (r03 green; rollup shape still graded via
-    # hypertable evidence + pytest), pipeline_zones (r03 green; zone
-    # logic also graded via j3/j4/t3 rows)
+    # 2: latest driver row is r03
+    "p10_j2_containment_join", "j3_scanline_incidence",
+    "a2_islands_sessionize", "a4_interval_union_stats",
+    "t1_t2_partition_at", "dedup_simhash", "lang_id_en",
+    "token_count_bpe", "quality_score", "fingerprint_minshingle",
+    "ann_cosine_topk", "boilerplate_strip", "pipeline_zones",
+    "a3_overlap_merge", "w8_collapse_order", "multimodal_features",
+    "ann_cosine_topk_ivf", "p4_p6_section_flags", "f12_margin_split",
+    "j4_zone_assembly", "pipeline_conv_rollup",
+    "multimodal_frame_sample", "lang_id_multi",
+    "j5_resolve_catalog_join", "decontaminate_ngram",
+    "sample_stratified_hash", "quality_repetition",
+    "quality_gopher_flags", "corpus_length_quantiles",
+    "top_terms_per_source", "a12_kmeans_centers",
+    "a13_svm_reference_score", "scrub_urls_emails", "j6_asof_join",
+    "hypertable_rollup",
+    # 3: extract-path composites (plans/extract.py touched this round)
+    "pipeline_regions", "pipeline_references", "pipeline_titles",
+    "pipeline_sections", "pipeline_metrics",
+    "pipeline_resolved_references", "pipeline_masks",
+    "s8_projection_parity",
+    # dropped to fit the 50-slot window (all r04 driver-green and
+    # covered by the full-battery matrix): sketch_bloom,
+    # sketch_count_min, dedup_exact, dedup_paragraph_exact,
+    # dedup_minhash_bands, dedup_ngram_jaccard, dedup_embedding_cosine,
+    # dedup_simhash_pairs, dedup_duplicate_clusters, j1_interval_join,
+    # pipeline_font_metrics, pipeline_page_dims, p1_empty_filter,
+    # p2_drop_spatial, p3_w4_title_top1, p7_p8_flex_threshold,
+    # p9_regex_reject, a1_exact_key_grouping, a6_margins_minmax,
+    # a9_ideal_scoring, a10_second_most_frequent, a11_argmax_vote,
+    # f1-f10 family, t3_case_split, w3/w5/w6
 ]
 
 
