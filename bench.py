@@ -46,16 +46,17 @@ def sf_of(sf_dir: str) -> float:
 # is the FIXED 18-query manifest recorded in every BENCH_r{N}.json —
 # hold it stable so rounds compare query-by-query.
 # Round 5 on: the suite runs in WINDOWS separate passes, each window
-# timing every Spark query once AND its DuckDB oracle once, so each
-# query gets a per-window (spark, duck) PAIR — the shared host swings
-# 2-5x between windows, so cross-engine ratios are only honest when
-# both sides come from the same window.  The headline "queries"/
-# "duckdb_sec" fields stay min-across-windows (comparable to the
-# min-of-N of earlier rounds); "bands" carries the full per-window
-# samples plus medians and the same-window ratio list.  Scaling
-# RATIOS use time-paired rounds instead — tools/scaling.py.
+# timing every Spark query and then IMMEDIATELY its DuckDB oracle, so
+# each query gets a (spark, duck) pair sampled seconds apart — the
+# shared host swings 2-5x between windows, so cross-engine ratios are
+# only honest when both sides see the same load.  The headline
+# "queries"/"duckdb_sec" fields stay min-across-windows; note min over
+# 3 windows draws stochastically lower than the min-of-2 rounds 1-4
+# recorded, so the emitted "min_of" field records N and cross-round
+# comparisons should read the per-query "bands" (samples, medians,
+# same-window ratios), not the headline min.  Scaling RATIOS use
+# time-paired rounds instead — tools/scaling.py.
 WINDOWS = int(os.environ.get("SPARK_GRAFT_BENCH_WINDOWS", "3"))
-MIN_OF_N = WINDOWS  # alias kept for callers that import it
 
 # Headline operator queries benched besides the flagship extraction.
 BENCH_QUERIES = [
@@ -201,6 +202,10 @@ def main() -> None:
         spark_w: dict[str, list[float]] = {n: [] for n in names}
         duck_w: dict[str, list[float]] = {n: [] for n in names}
         for _w in range(WINDOWS):
+            # each query's DuckDB oracle runs IMMEDIATELY after its
+            # Spark run — the two sides of a ratio are seconds apart,
+            # not separated by a whole suite pass on a host whose load
+            # swings 2-5x within a minute
             for name in names:
                 with fence_scope():
                     t0 = time.time()
@@ -208,7 +213,6 @@ def main() -> None:
                         "overwrite"
                     ).save()
                     spark_w[name].append(time.time() - t0)
-            for name in names:
                 t0 = time.time()
                 con.sql(ORACLES[name]).fetchall()
                 duck_w[name].append(time.time() - t0)
@@ -251,7 +255,7 @@ def main() -> None:
         "cores": cores,
         "turns": n_turns,
         "extract_turns_per_sec": round(tps, 1),
-        "min_of": MIN_OF_N,
+        "min_of": WINDOWS,
         **extras,
     }
     print(json.dumps(out))

@@ -49,43 +49,16 @@ def completed_buckets(
     a lineage table recorded under a different bucketing refuses to
     resume: the old bucket ids would mis-assign rows under the new
     hash, silently skipping data."""
-    from pyspark.errors import AnalysisException
+    # empty-start classification shared with the streaming bloom
+    # store — see ioutil.is_empty_start_exc for why only missing-path
+    # reads may map to "nothing committed yet"
+    from .ioutil import read_parquet_or_none
 
-    try:
-        lineage = spark.read.option("mergeSchema", "true").parquet(
-            f"{out_dir}/{LINEAGE_SUBDIR}"
-        )
-    except AnalysisException as exc:
-        # ONLY "nothing committed yet" reads are benign: a missing
-        # lineage path (PATH_NOT_FOUND), or an empty dir with no data
-        # files (UNABLE_TO_INFER_SCHEMA — reachable when a job crashed
-        # between mkdir and its first task commit).  Any other
-        # AnalysisException (column resolution against an existing
-        # table, catalog errors, ...) must propagate — mapping it to
-        # set() would silently restart every bucket and append
-        # duplicate lineage rows
-        cond = None
-        for attr in ("getCondition", "getErrorClass"):
-            getter = getattr(exc, attr, None)
-            if getter is not None:
-                try:
-                    cond = getter()
-                except Exception:
-                    cond = None
-                if cond:
-                    break
-        benign = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
-        is_empty_start = (
-            cond in benign
-            if cond
-            else (
-                "Path does not exist" in str(exc)
-                or "Unable to infer schema" in str(exc)
-            )
-        )
-        if is_empty_start:
-            return set()
-        raise
+    lineage = read_parquet_or_none(
+        spark, f"{out_dir}/{LINEAGE_SUBDIR}", merge_schema=True
+    )
+    if lineage is None:
+        return set()
     if n_buckets is not None and "n_buckets" in lineage.columns:
         bad = (
             lineage.where(

@@ -51,34 +51,55 @@ def _prior_bits(spark, bloom_dir: str, batch_id: int) -> DataFrame | None:
     probe: ``bloom_contains`` counts joined rows against n_hashes, so
     a bit stored by two batches would double-count and flip an
     inserted item to a false NEGATIVE."""
-    from pyspark.errors import AnalysisException
+    from ..ioutil import read_parquet_or_none
 
-    try:
-        bits = spark.read.parquet(bloom_dir)
-    except AnalysisException as exc:
-        cond = None
-        for attr in ("getCondition", "getErrorClass"):
-            getter = getattr(exc, attr, None)
-            if getter is not None:
-                try:
-                    cond = getter()
-                except Exception:
-                    cond = None
-                if cond:
-                    break
-        benign = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
-        if cond in benign or (
-            not cond
-            and (
-                "Path does not exist" in str(exc)
-                or "Unable to infer schema" in str(exc)
-            )
-        ):
-            return None
-        raise
+    bits = read_parquet_or_none(spark, bloom_dir)
+    if bits is None:
+        return None
     return (
         bits.where(F.col("batch_id") < batch_id).select("bit").distinct()
     )
+
+
+def _check_params(spark, bloom_dir: str, n_bits: int, n_hashes: int) -> None:
+    """Pin (n_bits, n_hashes) to the store.  Bit positions are only
+    meaningful under the parameters that computed them: restarting the
+    ingest with a different ``n_bits`` would probe stored 2^27-range
+    positions mod 2^20 — previously-admitted texts re-admit (dedup
+    silently broken) while the mixed-modulus table inflates false
+    positives.  The params row lives at ``_params`` (underscore paths
+    are invisible to the bits-table read) and a mismatch raises
+    instead of corrupting.  Overwritten idempotently, so a replayed
+    first batch re-asserts the same row."""
+    from ..ioutil import read_parquet_or_none
+
+    path = f"{bloom_dir}/_params"
+    stored = read_parquet_or_none(spark, path)
+    if stored is not None:
+        row = stored.select("n_bits", "n_hashes").head()
+        if row is not None:
+            if (row["n_bits"], row["n_hashes"]) != (n_bits, n_hashes):
+                raise ValueError(
+                    f"bloom store at {bloom_dir} was built with "
+                    f"n_bits={row['n_bits']}, n_hashes={row['n_hashes']} "
+                    f"but this ingest was started with n_bits={n_bits}, "
+                    f"n_hashes={n_hashes}; stored bit positions would be "
+                    f"misread — restart with the original parameters or "
+                    f"point at a fresh bloom_dir"
+                )
+            return
+    spark.createDataFrame(
+        [(n_bits, n_hashes)], "n_bits bigint, n_hashes bigint"
+    ).write.mode("overwrite").parquet(path)
+
+
+# Density past which the accumulated filter is warned saturated: at
+# 50% set bits the false-positive (over-drop) rate is 0.5^k — 6.25%
+# at the default k=4 and climbing fast (91% of NEW docs dropped at
+# ~10^6 distinct texts under the default m=2^20).  The filter keeps
+# working (false negatives stay impossible); the warning is the
+# observable bound, same pattern as the LSH max_bucket_size cap.
+SATURATION_WARN_DENSITY = 0.5
 
 
 def bloom_ingest_batch(
@@ -101,6 +122,7 @@ def bloom_ingest_batch(
     are admitted verbatim (same contract as streaming_dedup_exact:
     NULL texts are not duplicates of each other)."""
     spark = batch_df.sparkSession
+    _check_params(spark, bloom_dir, n_bits, n_hashes)
     hashed = batch_df.withColumn("_h", text_hash(F.col(text_col)))
     nulls = hashed.where(F.col(text_col).isNull()).drop("_h")
     # one candidate row per distinct hash within the batch; which
@@ -112,6 +134,20 @@ def bloom_ingest_batch(
     )
     prior = _prior_bits(spark, bloom_dir, batch_id)
     if prior is not None:
+        set_bits = prior.count()
+        if set_bits > SATURATION_WARN_DENSITY * n_bits:
+            import warnings
+
+            warnings.warn(
+                f"bloom ingest filter at {bloom_dir} is "
+                f"{set_bits / n_bits:.0%} saturated "
+                f"({set_bits}/{n_bits} bits): genuinely new documents "
+                f"are now wrongly dropped at ≥"
+                f"{(set_bits / n_bits) ** n_hashes:.1%}; re-shard into "
+                f"a larger filter (bloom_merge cannot shrink one)",
+                UserWarning,
+                stacklevel=2,
+            )
         novel = (
             bloom_contains(prior, first.select("_h"), "_h", n_bits, n_hashes)
             .where(~F.col("may_contain"))

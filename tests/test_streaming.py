@@ -381,3 +381,45 @@ def test_bloom_ingest_catches_cross_batch_duplicate_beyond_horizon(
         r["turn_idx"] for r in spark.read.parquet(out_dir).collect()
     )
     assert again == [0, 1, 3, 4]
+
+
+def test_bloom_ingest_params_pinned_and_saturation_warns(spark, tmp_path):
+    """The bloom store is only meaningful under the (n_bits, n_hashes)
+    that computed its bit positions: restarting the ingest with a
+    different n_bits must raise instead of silently re-admitting
+    previously-seen texts under a mixed-modulus table.  And a filter
+    past 50% set-bit density must warn loudly — past that point the
+    over-drop rate is >= 0.5^k and climbing, with shrinking output
+    volume otherwise the only symptom."""
+    import datetime
+    import warnings
+
+    import pytest
+
+    from pdfextract_spark.streaming import bloom_ingest_batch
+
+    out_dir = str(tmp_path / "out")
+    bloom_dir = str(tmp_path / "bloom")
+    ts = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows0 = [
+        ("c0", i, "user", f"distinct document body {i}", None, ts)
+        for i in range(40)
+    ]
+    b0 = spark.createDataFrame(rows0, SCHEMA)
+    # tiny filter: 40 distinct texts x 4 hashes into 64 bits leaves
+    # the prior filter far past the 50% density bar for batch 1
+    bloom_ingest_batch(b0, 0, out_dir, bloom_dir, n_bits=64, n_hashes=4)
+
+    # restart with a different geometry: refuse before touching bits
+    with pytest.raises(ValueError, match="n_bits=64"):
+        bloom_ingest_batch(
+            b0, 1, out_dir, bloom_dir, n_bits=128, n_hashes=4
+        )
+
+    rows1 = [("c1", 100, "user", "one more new document", None, ts)]
+    b1 = spark.createDataFrame(rows1, SCHEMA)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        bloom_ingest_batch(b1, 1, out_dir, bloom_dir, n_bits=64, n_hashes=4)
+    sat = [w for w in caught if "saturated" in str(w.message)]
+    assert sat, "expected a saturation UserWarning past 50% density"

@@ -303,9 +303,9 @@ def _run_bloom(spark, n_items: int, cores: int) -> None:
     build_wall = _time.time() - t0
 
     t0 = _time.time()
-    probes = items.withColumn("_in", F.lit(True)).unionByName(
-        non_items.withColumn("_in", F.lit(False))
-    )
+    # bloom_contains keeps only the key column, so membership is
+    # recovered from the value prefix after the probe
+    probes = items.unionByName(non_items)
     res = sketch.bloom_contains(
         merged, probes, "v", n_bits=n_bits, n_hashes=n_hashes
     ).withColumn("_in", F.col("v").startswith("item:"))
