@@ -101,6 +101,16 @@ BENCH_QUERIES_R4 = [
     "dedup_substring_stats",
 ]
 
+# Round-5 manifest extension: dedup_substring_stats at an 8x-mirrored
+# corpus (min_count scaled 2 -> 16, identical duplicated-gram set).
+# The base entry's 5,000-doc input is fixed-overhead-dominated at
+# sf0.1 (BASELINE.md profiles ~0.7 s real work under ~2.4 s wall);
+# this entry measures the same operator where the work amortizes the
+# per-job floor — the regime a 100 TB run actually lives in.
+BENCH_QUERIES_R5 = [
+    "dedup_substring_stats_8x",
+]
+
 
 def run_extraction(spark, sf_dir: str, turns_per_doc: int):
     """Flagship: synth transcripts -> full extraction -> noop sink.
@@ -198,7 +208,12 @@ def main() -> None:
                 f"'{sf_dir}/{tname}.parquet'"
             )
 
-        names = BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4
+        names = (
+            BENCH_QUERIES
+            + BENCH_QUERIES_R3
+            + BENCH_QUERIES_R4
+            + BENCH_QUERIES_R5
+        )
         spark_w: dict[str, list[float]] = {n: [] for n in names}
         duck_w: dict[str, list[float]] = {n: [] for n in names}
         for _w in range(WINDOWS):

@@ -53,6 +53,17 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism * 2)
 
 
+def _spread_by(spark: SparkSession, df: DataFrame, *keys: str) -> DataFrame:
+    """``_spread`` hash-partitioned on ``keys`` instead of round-robin.
+    For operators whose last stage aggregates by these keys after a
+    per-row fan-out (gram/shingle explode), this moves the shuffle to
+    the COMPACT doc rows before the explode: the exploded seed table
+    inherits the partitioning, so the per-doc aggregation needs no
+    second exchange.  At warehouse scale the same choice shrinks
+    shuffle bytes by the fan-out factor (tokens per document)."""
+    return df.repartition(spark.sparkContext.defaultParallelism * 2, *keys)
+
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
@@ -3205,7 +3216,8 @@ _SS_CORPUS_SQL = f"""
 # The shared seed->dup->merged-islands pipeline over a corpus CTE named
 # ``corpus`` (re-normalized first: the builders above can emit double
 # spaces at empty slice boundaries, exactly like their Spark twins).
-_SS_SPANS_SQL = """
+# ``__MC__`` is the min_count threshold; _ss_spans_sql() instantiates it.
+_SS_SPANS_TMPL = """
     nw AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(coalesce(text, '')),
@@ -3221,7 +3233,7 @@ _SS_SPANS_SQL = """
       FROM nw
     ),
     g AS (SELECT doc_id, unnest(prs, recursive := true) FROM g0),
-    dup AS (SELECT g AS gh FROM g GROUP BY g HAVING count(*) >= 2),
+    dup AS (SELECT g AS gh FROM g GROUP BY g HAVING count(*) >= __MC__),
     seeds AS (SELECT g.doc_id, g.p AS pos FROM g JOIN dup ON g.g = dup.gh),
     flag AS (
       SELECT doc_id, pos,
@@ -3242,6 +3254,36 @@ _SS_SPANS_SQL = """
              max(pos + 8)::BIGINT AS span_hi, count(*)::BIGINT AS n_seeds
       FROM isl GROUP BY doc_id, island
     )
+"""
+
+
+def _ss_spans_sql(min_count: int = 2) -> str:
+    """Instantiate the shared spans pipeline at a min_count threshold
+    (plain replace — the template holds DuckDB struct literals whose
+    braces str.format would eat)."""
+    return _SS_SPANS_TMPL.replace("__MC__", str(min_count))
+
+
+_SS_SPANS_SQL = _ss_spans_sql()
+
+# Per-document duplicated-token accounting tail shared by the base
+# stats oracle and the 8x-mirrored bench variant: aggregate the merged
+# spans, then left-join so zero-span documents report 0 / 0.0.
+_SS_STATS_TAIL_SQL = """
+    agg AS (
+      SELECT doc_id, sum(span_hi - span_lo)::BIGINT AS dup_tokens,
+             count(*)::BIGINT AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT nw.doc_id,
+           (CASE WHEN array_to_string(w, '') = '' THEN 0
+                 ELSE len(w) END)::BIGINT AS n_tokens,
+           coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+           coalesce(n_spans, 0)::BIGINT AS n_spans,
+           round(CASE WHEN len(w) > 0 AND array_to_string(w, '') <> ''
+                 THEN coalesce(dup_tokens, 0) * 1.0 / len(w)
+                 ELSE 0.0 END, 6) AS dup_ratio
+    FROM nw LEFT JOIN agg ON nw.doc_id = agg.doc_id
 """
 
 
@@ -3283,7 +3325,9 @@ def dedup_substring_spans(spark, sf_dir):
         F.col("doc_id") % 3 == 0,
         F.concat_ws(" ", F.lit(_SS_S1), body, F.lit(_SS_S2)),
     ).otherwise(body)
-    corpus = _spread(spark, docs.select("doc_id", text.alias("text")))
+    corpus = _spread_by(
+        spark, docs.select("doc_id", text.alias("text")), "doc_id"
+    )
     return dedup.substring_duplicate_spans(corpus, n=8, min_count=2)
 
 
@@ -3292,31 +3336,56 @@ def dedup_substring_spans(spark, sf_dir):
     f"""
     WITH corpus AS (SELECT doc_id, text FROM documents),
     {_SS_SPANS_SQL},
-    agg AS (
-      SELECT doc_id, sum(span_hi - span_lo)::BIGINT AS dup_tokens,
-             count(*)::BIGINT AS n_spans
-      FROM spans GROUP BY doc_id
-    )
-    SELECT nw.doc_id,
-           (CASE WHEN array_to_string(w, '') = '' THEN 0
-                 ELSE len(w) END)::BIGINT AS n_tokens,
-           coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
-           coalesce(n_spans, 0)::BIGINT AS n_spans,
-           round(CASE WHEN len(w) > 0 AND array_to_string(w, '') <> ''
-                 THEN coalesce(dup_tokens, 0) * 1.0 / len(w)
-                 ELSE 0.0 END, 6) AS dup_ratio
-    FROM nw LEFT JOIN agg ON nw.doc_id = agg.doc_id
+    {_SS_STATS_TAIL_SQL}
     """,
 )
 def dedup_substring_stats(spark, sf_dir):
     """Per-document duplicated-token accounting over the RAW documents
     table at n=8 (natural small-vocabulary duplication): dup_tokens /
     n_tokens / n_spans / dup_ratio, one row per input document
-    including zero-span ones — the curation-dashboard row."""
-    docs = _spread(
-        spark, load_table(spark, sf_dir, "documents")
+    including zero-span ones — the curation-dashboard row.  The input
+    is hash-partitioned by doc_id (``_spread_by``): the groupBy(doc_id)
+    that folds seed positions then reuses the partitioning, so the
+    only seed-table shuffle left is the combinable gram count."""
+    docs = _spread_by(
+        spark, load_table(spark, sf_dir, "documents"), "doc_id"
     ).select("doc_id", "text")
     return dedup.substring_dedup_stats(docs, n=8, min_count=2)
+
+
+@q(
+    "dedup_substring_stats_8x",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id * 8 + i AS doc_id, text
+      FROM documents, range(8) r(i)
+    ),
+    {_ss_spans_sql(16)},
+    {_SS_STATS_TAIL_SQL}
+    """,
+)
+def dedup_substring_stats_8x(spark, sf_dir):
+    """``dedup_substring_stats`` at 8x the corpus: documents mirrored
+    eightfold (doc_id * 8 + i keys) with min_count scaled 2 -> 16, so
+    the duplicated-gram SET is bit-identical to the base query's (a
+    gram clears 16 occurrences at 8x iff it cleared 2 at 1x) while
+    every stage processes 8x the rows.  This is the bench entry that
+    measures the operator in the amortized regime: at sf0.1 the base
+    documents table is 5,000 docs x 54 tokens, small enough that
+    fixed per-job overhead — not the plan — dominates the Spark/DuckDB
+    ratio (BASELINE.md profiles this), whereas the oracle's cost is
+    linear in corpus size.  Mirroring follows the committed scale-run
+    protocol (tools/dedup_scale.py's 8x/16x/32x corpora)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mirrored = docs.select(
+        F.col("doc_id"),
+        F.col("text"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("_i"),
+    ).select(
+        (F.col("doc_id") * 8 + F.col("_i")).alias("doc_id"), "text"
+    )
+    corpus = _spread_by(spark, mirrored, "doc_id")
+    return dedup.substring_dedup_stats(corpus, n=8, min_count=16)
 
 
 @q(
@@ -3348,8 +3417,8 @@ def dedup_substring_strip(spark, sf_dir):
     per-document-parallel).  clean_text itself is in the value hash:
     the oracle rebuilds it with an index-lambda filter over the same
     merged spans."""
-    docs = _spread(
-        spark, load_table(spark, sf_dir, "documents")
+    docs = _spread_by(
+        spark, load_table(spark, sf_dir, "documents"), "doc_id"
     ).select("doc_id", "text")
     return dedup.strip_duplicate_spans(docs, n=8, min_count=2)
 
@@ -3873,7 +3942,8 @@ def p2_drop_spatial(spark, sf_dir):
 #   than r04 after this rotation.
 _GRADE_PRIORITY = [
     # 1: implementation touched in round 5
-    "dedup_substring_stats", "dedup_substring_spans",
+    "dedup_substring_stats", "dedup_substring_stats_8x",
+    "dedup_substring_spans",
     "dedup_substring_strip", "scrub_pii", "text_bm25",
     "near_dup_dedup", "lsh_dedup_clusters",
     # 2: latest driver row is r03

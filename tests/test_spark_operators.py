@@ -1473,6 +1473,45 @@ def test_substring_span_dedup_matches_brute_force(spark):
             assert cl_rows[d]["clean_text"] == keep, f"seed {seed} doc {d}"
 
 
+def test_substring_stats_mirror_scaling_invariant(spark):
+    """The 8x-mirrored bench variant's defining invariant: mirroring a
+    corpus k times while scaling min_count by k leaves the
+    duplicated-gram set bit-identical, so every mirror's stats row
+    must equal its base doc's row under the unscaled threshold.  Uses
+    the same doc_id * k + i keying as the dedup_substring_stats_8x
+    driver query."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdfextract_spark.operators.dedup import substring_dedup_stats
+
+    vocab = ["ab", "cd", "ef", "gh", "ij", "kl"]
+    rng = random.Random(41)
+    texts = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 20))))
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    base = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["n_spans"])
+        for r in substring_dedup_stats(df, n=3, min_count=2).collect()
+    }
+    k = 8
+    mirrored = df.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+    ).select((F.col("doc_id") * k + F.col("_i")).alias("doc_id"), "text")
+    rows = substring_dedup_stats(mirrored, n=3, min_count=2 * k).collect()
+    assert len(rows) == k * len(texts)
+    for r in rows:
+        d, i = divmod(r["doc_id"], k)
+        assert (
+            r["n_tokens"], r["dup_tokens"], r["n_spans"]
+        ) == base[d], f"mirror {i} of doc {d} diverged from base stats"
+
+
 def test_bloom_filter_membership_and_merge(spark):
     """Bloom filter: inserted items always hit (no false negatives,
     NULL included via the sentinel hash), absent items miss at a
