@@ -103,19 +103,24 @@ REPRESENTATIVE = {
     "regions explode only (conv_id, turn_idx, line_height, font) "
     "survive the projection, so the spatial doubles are never "
     "serialized past the kernel stage",
-    "dedup_substring_stats": "substring-span dedup: the n-gram md5 "
-    "windowing is a codegen'd higher-order transform in the scan "
-    "projection; corpus-wide gram counting is ONE map-side-combinable "
-    "aggregation on the gram hash (the driver's min_docs=1 default — "
-    "a two-level (gram,doc)->(gram) split only when min_docs>1 "
-    "constrains), so a boilerplate gram repeated 10^9 times "
-    "partial-aggregates instead of "
-    "hot-spotting one task; the dup-gram set hash-equi-joins back to "
-    "the seed table (1:1 per seed, no expansion) and the island merge "
-    "is one per-document window — NOTE: the seed table is "
-    "checkpoint-fenced (feeds both the count and the join back), so "
-    "the plan roots at Scan ExistingRDD and the scan-stage evidence "
-    "lives in the pre-fence projection",
+    "dedup_substring_stats": "substring-span dedup (fused stats "
+    "path): the n-gram md5 windowing is a codegen'd higher-order "
+    "transform in the scan projection; corpus-wide gram counting is "
+    "ONE map-side-combinable aggregation on the gram hash (the "
+    "driver's min_docs=1 default — a two-level (gram,doc)->(gram) "
+    "split only when min_docs>1 constrains), so a boilerplate gram "
+    "repeated 10^9 times partial-aggregates instead of hot-spotting "
+    "one task; the duplicated-gram set BROADCASTS onto the seed "
+    "table as a left marker (1:1 per seed, no expansion) and the "
+    "island merge is one F.aggregate fold over each document's "
+    "sorted seed positions inside the final per-doc aggregation — "
+    "the driver query pre-partitions the doc table by doc_id "
+    "(_spread_by), so that aggregation reuses the input partitioning "
+    "and the EXPLODED seed table is never shuffled (the one exchange "
+    "moves compact doc rows before the fan-out) — NOTE: the seed "
+    "table is checkpoint-fenced (feeds both the count and the "
+    "probe), so the plan roots at Scan ExistingRDD and the "
+    "scan-stage evidence lives in the pre-fence projection",
     "sketch_bloom": "bloom filter build + probe: one map-side-"
     "combinable distinct of <= n_bits rows (a mega-duplicate item "
     "combines away in the scan stage); the probe side dedups, "
