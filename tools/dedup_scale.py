@@ -89,8 +89,15 @@ def build_corpus(spark, sf_dir: str, mult: int):
         out = out.unionAll(p)
     # scale runs SHOULD spread: M x 5000 docs of shingle+md5 work is
     # compute-dominant (unlike the sf0.1 bench where the text shuffle
-    # cost more than the query)
-    return out.repartition(spark.sparkContext.defaultParallelism * 2)
+    # cost more than the query).  Hash-partition by doc_id (not
+    # round-robin): doc_id keys are unique so the spread is just as
+    # even, and per-doc aggregations downstream (substring stats'
+    # seed-position fold) reuse the partitioning instead of shuffling
+    # the exploded seed table — the same choice the driver queries
+    # ship (_spread_by), so scale runs measure the shipped plan shape.
+    return out.repartition(
+        spark.sparkContext.defaultParallelism * 2, "doc_id"
+    )
 
 
 def _run_substring(spark, corpus, n_docs, mult, cores, sf_dir) -> None:
