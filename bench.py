@@ -107,6 +107,9 @@ BENCH_QUERIES_R4 = [
 # sf0.1 (BASELINE.md profiles ~0.7 s real work under ~2.4 s wall);
 # this entry measures the same operator where the work amortizes the
 # per-job floor — the regime a 100 TB run actually lives in.
+# NOTE: like the R3/R4 extensions, this adds its wall time (~6-12 s at
+# sf0.1) to the headline "value"; cross-round headline comparisons
+# must subtract the extension or compare per-query via "bands".
 BENCH_QUERIES_R5 = [
     "dedup_substring_stats_8x",
 ]

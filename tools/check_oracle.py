@@ -103,7 +103,7 @@ def main():
         t0 = time.time()
         try:
             # fenced operators release their checkpoint storage per
-            # query — a 79-query battery must not accumulate blocks
+            # query — an 86-query battery must not accumulate blocks
             with fence_scope():
                 sdf = fn(spark, sf_dir)
                 scols = sdf.columns
