@@ -57,6 +57,10 @@ def sf_of(sf_dir: str) -> float:
 # same-window ratios), not the headline min.  Scaling RATIOS use
 # time-paired rounds instead — tools/scaling.py.
 WINDOWS = int(os.environ.get("SPARK_GRAFT_BENCH_WINDOWS", "3"))
+if WINDOWS < 1:
+    raise SystemExit(
+        f"SPARK_GRAFT_BENCH_WINDOWS={WINDOWS}: need >= 1 timing window"
+    )
 
 # Headline operator queries benched besides the flagship extraction.
 BENCH_QUERIES = [
@@ -260,8 +264,15 @@ def main() -> None:
         extras["duckdb_sec"] = {
             name: round(min(duck_w[name]), 3) for name in names
         }
+        # j1_spark_over_duckdb keeps its rounds-1-4 min/min semantics
+        # (queries[j1] / j1_duckdb_sec reproduces it) so cross-round
+        # reads of the field compare like with like; the same-window
+        # median lives in the new j1_ratio_median (and in bands)
         extras["j1_duckdb_sec"] = extras["duckdb_sec"]["j1_interval_join"]
-        extras["j1_spark_over_duckdb"] = bands["j1_interval_join"][
+        extras["j1_spark_over_duckdb"] = round(
+            queries["j1_interval_join"] / extras["j1_duckdb_sec"], 2
+        )
+        extras["j1_ratio_median"] = bands["j1_interval_join"][
             "ratio_median"
         ]
     out = {

@@ -220,6 +220,18 @@ def lsh_candidate_pairs(
     if fence:
         bands = _fence(bands)
     if max_bucket_size is not None:
+        if not fence:
+            # the cap's "one bounded driver action" claim requires a
+            # materialized band table: without this, the eager size
+            # aggregate below executes the whole shingle->md5->min
+            # pipeline at plan-BUILD time, and the un-fenced anti-join
+            # + self-join then re-evaluate it on every side (3-4x the
+            # module's most expensive stage).  Capped callers get a
+            # fence even under fence=False — release it with
+            # fence_scope()/release_fence like any other; a streaming
+            # foreachBatch caller holds a batch DataFrame, so
+            # localCheckpoint is legal there too.
+            bands = _fence(bands)
         sizes = bands.groupBy("band", "band_hash").agg(
             F.count("*").alias("_bsz")
         )
@@ -779,10 +791,13 @@ def substring_duplicate_spans(
     (gram, doc) layer then a (gram) layer — same combine property at
     both levels; the duplicated-gram set joins back to the
     seed table as a BROADCAST hash join by default (it is bounded by
-    the distinct duplicated-gram count, not the corpus — pass
-    ``broadcast_dup=False`` for corpora whose boilerplate vocabulary
-    itself exceeds executor memory, falling back to a shuffle
-    equi-join; 1:1 per seed either way, no expansion); the
+    the distinct duplicated-gram count, not the corpus).  NOTE:
+    ``F.broadcast`` is an unconditional hint — it bypasses
+    ``autoBroadcastJoinThreshold``, so a corpus whose boilerplate
+    VOCABULARY itself exceeds executor memory (hundreds of millions
+    of distinct duplicated grams) must pass ``broadcast_dup=False``
+    to fall back to a shuffle equi-join (1:1 per seed either way, no
+    expansion); the
     span merge is a per-document window bounded by document length.
     The seed table feeds both the count and the join back, so it is
     checkpoint-fenced once (``fence=False`` opts out for streaming /

@@ -250,9 +250,22 @@ IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 PHONE_BODY_RE = r"(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b"
 PHONE_RE = r"(^|[^\d])" + PHONE_BODY_RE
 # 16-digit card-shaped runs, contiguous or in 4-groups ('1234 5678
-# 9012 3456' / '1234-5678-9012-3456'); \b on BOTH sides keeps longer
-# digit runs untouched (no position inside a run is a word boundary)
-CARD_RE = r"\b(?:\d{4}[ -]?){3}\d{4}\b"
+# 9012 3456' / '1234-5678-9012-3456').  Both sides carry captured
+# guards (RE2 has no lookaround, so the guard chars are consumed and
+# re-emitted via \1 / \3): a match may not START after digits or a
+# digit+separator run, and may not END before a separator+digit
+# continuation — so '1234-5678-9012-3456-7890' (a 20-digit grouped
+# order id) and '4111 1111 1111 1111 945' (19-digit grouped run) are
+# left UNTOUCHED instead of losing their first 16 digits, the same
+# no-half-eaten-number contract the phone pattern pins.  Conservative
+# corollary (documented, intended): two cards separated by ONLY a
+# space or dash read as one longer grouped run and are both skipped —
+# indistinguishable from a long order id without lookahead.
+CARD_RE = (
+    r"(^|[^\d \-]|[^\d \-][ \-]+)"
+    r"((?:\d{4}[ -]?){3}\d{4})"
+    r"($|[^\d \-]|[ \-]+[^\d \-]|[ \-]+$)"
+)
 
 
 def scrub_pii(
@@ -269,11 +282,14 @@ def scrub_pii(
     Digit runs of 13+ that are neither card- nor IP-shaped (order
     ids, hashes, timestamps) are intentionally left intact — the
     phone pattern is left-anchored so it cannot redact the tail of a
-    longer run.  Pure regex projections — zero Python, zero
-    shuffles."""
+    longer run, and the card pattern is guarded on BOTH sides so a
+    17+-digit grouped sequence is never half-eaten either.  Pure
+    regex projections — zero Python, zero shuffles."""
     clean = scrub_urls_emails(col, url_token, email_token)
     clean = F.regexp_replace(clean, IPV4_RE, _quote_replacement(ip_token))
-    clean = F.regexp_replace(clean, CARD_RE, _quote_replacement(card_token))
+    clean = F.regexp_replace(
+        clean, CARD_RE, "$1" + _quote_replacement(card_token) + "$3"
+    )
     return F.regexp_replace(
         clean, PHONE_RE, "$1" + _quote_replacement(phone_token)
     )

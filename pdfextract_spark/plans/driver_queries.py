@@ -2854,14 +2854,16 @@ def scrub_urls_emails(spark, sf_dir):
     s2 AS (
       SELECT doc_id, text, no_ip,
              regexp_replace(no_ip,
-               '\b(?:\d{4}[ -]?){3}\d{4}\b', '<CARD>', 'g') AS no_card
+               '(^|[^\d \-]|[^\d \-][ \-]+)((?:\d{4}[ -]?){3}\d{4})($|[^\d \-]|[ \-]+[^\d \-]|[ \-]+$)',
+               '\1<CARD>\3', 'g') AS no_card
       FROM s
     )
     SELECT doc_id,
            len(regexp_extract_all(text,
              '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::INT AS n_ips,
            len(regexp_extract_all(no_ip,
-             '\b(?:\d{4}[ -]?){3}\d{4}\b'))::INT AS n_cards,
+             '(^|[^\d \-]|[^\d \-][ \-]+)((?:\d{4}[ -]?){3}\d{4})($|[^\d \-]|[ \-]+[^\d \-]|[ \-]+$)'
+           ))::INT AS n_cards,
            len(regexp_extract_all(no_card,
              '(^|[^\d])(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b'
            ))::INT AS n_phones,
@@ -2873,14 +2875,15 @@ def scrub_urls_emails(spark, sf_dir):
 )
 def scrub_pii(spark, sf_dir):
     """Full PII redaction (operators/quality.scrub_pii): URL -> email
-    -> IPv4 -> 16-digit card -> LEFT-ANCHORED phone placeholder
-    tokens, all RE2-safe patterns so the DuckDB oracle matches
-    byte-for-byte (the phone anchor is a captured (^|[^\\d]) guard
-    re-emitted via $1 / \\1 — RE2 has no lookbehind); per-doc
-    synthetic suffix (doc_id-derived phone + IP + card + a 13-digit
-    order-ref run that must SURVIVE redaction) exercises every
-    pattern AND the long-run no-match contract in the value hash.
-    Pure regex projections — zero Python, zero shuffles."""
+    -> IPv4 -> 16-digit card (guarded on BOTH sides so 17+-digit
+    grouped runs are never half-eaten) -> LEFT-ANCHORED phone
+    placeholder tokens, all RE2-safe patterns so the DuckDB oracle
+    matches byte-for-byte (guards are captured and re-emitted via
+    $1/$3 / \\1/\\3 — RE2 has no lookaround); per-doc synthetic
+    suffix (doc_id-derived phone + IP + card + a 13-digit order-ref
+    run that must SURVIVE redaction) exercises every pattern AND the
+    long-run no-match contract in the value hash.  Pure regex
+    projections — zero Python, zero shuffles."""
     from ..operators import quality as Qx
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2910,7 +2913,7 @@ def scrub_pii(spark, sf_dir):
         Qx.IPV4_RE,
         "<IP>",
     )
-    no_card = F.regexp_replace(no_ip, Qx.CARD_RE, "<CARD>")
+    no_card = F.regexp_replace(no_ip, Qx.CARD_RE, "$1<CARD>$3")
     return t.select(
         "doc_id",
         Qx.ip_count(F.col("text")).cast("int").alias("n_ips"),

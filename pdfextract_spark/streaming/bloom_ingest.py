@@ -45,20 +45,15 @@ from ..operators.sketch import bloom_build, bloom_contains
 __all__ = ["bloom_ingest_batch", "start_bloom_ingest_dedup"]
 
 
-def _prior_bits(spark, bloom_dir: str, batch_id: int) -> DataFrame | None:
-    """The accumulated set-bit table from batches BEFORE ``batch_id``
-    (None when no prior batch committed bits).  Distinct-ed before the
-    probe: ``bloom_contains`` counts joined rows against n_hashes, so
-    a bit stored by two batches would double-count and flip an
-    inserted item to a false NEGATIVE."""
+def _load_bits(spark, bloom_dir: str) -> DataFrame | None:
+    """The raw accumulated (batch_id, bit) store, or None when no
+    batch committed bits yet.  Callers persist it for the batch: the
+    rewind guard, the saturation count, and the probe join all read
+    the same table, and without a cache each would re-scan every
+    ``batch_id=N`` directory of a long-running ingest."""
     from ..ioutil import read_parquet_or_none
 
-    bits = read_parquet_or_none(spark, bloom_dir)
-    if bits is None:
-        return None
-    return (
-        bits.where(F.col("batch_id") < batch_id).select("bit").distinct()
-    )
+    return read_parquet_or_none(spark, bloom_dir)
 
 
 def _check_params(spark, bloom_dir: str, n_bits: int, n_hashes: int) -> None:
@@ -120,7 +115,20 @@ def bloom_ingest_batch(
     ``out_dir/batch_id=N`` -> write the survivors' bits to
     ``bloom_dir/batch_id=N``.  NULL-text rows bypass the filter and
     are admitted verbatim (same contract as streaming_dedup_exact:
-    NULL texts are not duplicates of each other)."""
+    NULL texts are not duplicates of each other).
+
+    Checkpoint-rewind guard: batch ids under one checkpoint lineage
+    only ever increase, so a store already holding bits from a batch
+    AFTER this one means the stream was restarted against a used
+    bloom_dir/out_dir with a fresh (or rolled-back) checkpoint — the
+    replay contract no longer holds (batch 0 would probe an empty
+    prior set, re-admit every previously-seen text, and OVERWRITE the
+    original batch-0 partitions), so the batch raises instead of
+    silently corrupting, same refusal pattern as sinks.py's lineage
+    n_buckets pin.  Residual: a fresh checkpoint whose store holds
+    ONLY batch 0 is indistinguishable from a legitimate replay of
+    batch 0 (both present max_stored == current == 0); every later
+    batch is protected."""
     spark = batch_df.sparkSession
     _check_params(spark, bloom_dir, n_bits, n_hashes)
     hashed = batch_df.withColumn("_h", text_hash(F.col(text_col)))
@@ -132,45 +140,87 @@ def bloom_ingest_batch(
         hashed.where(F.col(text_col).isNotNull())
         .dropDuplicates(["_h"])
     )
-    prior = _prior_bits(spark, bloom_dir, batch_id)
-    if prior is not None:
-        set_bits = prior.count()
-        if set_bits > SATURATION_WARN_DENSITY * n_bits:
-            import warnings
-
-            warnings.warn(
-                f"bloom ingest filter at {bloom_dir} is "
-                f"{set_bits / n_bits:.0%} saturated "
-                f"({set_bits}/{n_bits} bits): genuinely new documents "
-                f"are now wrongly dropped at ≥"
-                f"{(set_bits / n_bits) ** n_hashes:.1%}; re-shard into "
-                f"a larger filter (bloom_merge cannot shrink one)",
-                UserWarning,
-                stacklevel=2,
-            )
-        novel = (
-            bloom_contains(prior, first.select("_h"), "_h", n_bits, n_hashes)
-            .where(~F.col("may_contain"))
-            .select("_h")
-        )
-        survivors = first.join(novel, "_h", "left_semi")
-    else:
-        survivors = first
-    # fence: survivors feed BOTH writes (output + new bits) — without
-    # it the probe join re-runs per write; released after the batch so
-    # a long-running ingest never accumulates checkpoint blocks
-    from ..operators.fence import fence, release_fence
-
-    survivors = fence(survivors, eager=True)
+    bits = _load_bits(spark, bloom_dir)
+    if bits is not None:
+        bits = bits.persist()
     try:
-        survivors.drop("_h").unionByName(nulls).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/batch_id={batch_id}")
-        bloom_build(
-            survivors.select("_h"), "_h", n_bits=n_bits, n_hashes=n_hashes
-        ).write.mode("overwrite").parquet(f"{bloom_dir}/batch_id={batch_id}")
+        if bits is not None:
+            # one cached scan serves the rewind guard, the saturation
+            # count, and the probe join below
+            row = bits.agg(
+                F.max("batch_id").alias("mx"),
+                F.count_distinct(
+                    F.when(F.col("batch_id") < batch_id, F.col("bit"))
+                ).alias("nset"),
+            ).head()
+            if row["mx"] is not None and row["mx"] > batch_id:
+                raise ValueError(
+                    f"bloom store at {bloom_dir} already holds bits "
+                    f"from batch {row['mx']} but this stream is "
+                    f"processing batch {batch_id}: the checkpoint was "
+                    f"reset or rolled back against a used store, which "
+                    f"would re-admit previously-seen texts and "
+                    f"overwrite committed output — resume from the "
+                    f"original checkpoint_dir, or point the ingest at "
+                    f"fresh out_dir/bloom_dir paths"
+                )
+            set_bits = int(row["nset"])
+            if set_bits > SATURATION_WARN_DENSITY * n_bits:
+                import warnings
+
+                warnings.warn(
+                    f"bloom ingest filter at {bloom_dir} is "
+                    f"{set_bits / n_bits:.0%} saturated "
+                    f"({set_bits}/{n_bits} bits): genuinely new "
+                    f"documents are now wrongly dropped at ≥"
+                    f"{(set_bits / n_bits) ** n_hashes:.1%}; re-shard "
+                    f"into a larger filter (bloom_merge cannot shrink "
+                    f"one)",
+                    UserWarning,
+                    stacklevel=2,
+                )
+        if bits is not None and set_bits > 0:
+            # distinct-ed before the probe: bloom_contains counts
+            # joined rows against n_hashes, so a bit stored by two
+            # batches would double-count and flip an inserted item to
+            # a false NEGATIVE
+            prior = (
+                bits.where(F.col("batch_id") < batch_id)
+                .select("bit")
+                .distinct()
+            )
+            novel = (
+                bloom_contains(
+                    prior, first.select("_h"), "_h", n_bits, n_hashes
+                )
+                .where(~F.col("may_contain"))
+                .select("_h")
+            )
+            survivors = first.join(novel, "_h", "left_semi")
+        else:
+            survivors = first
+        # fence: survivors feed BOTH writes (output + new bits) —
+        # without it the probe join re-runs per write; released after
+        # the batch so a long-running ingest never accumulates
+        # checkpoint blocks
+        from ..operators.fence import fence, release_fence
+
+        survivors = fence(survivors, eager=True)
+        try:
+            survivors.drop("_h").unionByName(nulls).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/batch_id={batch_id}")
+            bloom_build(
+                survivors.select("_h"), "_h",
+                n_bits=n_bits, n_hashes=n_hashes,
+            ).write.mode("overwrite").parquet(
+                f"{bloom_dir}/batch_id={batch_id}"
+            )
+        finally:
+            release_fence(survivors)
     finally:
-        release_fence(survivors)
+        if bits is not None:
+            bits.unpersist()
 
 
 def start_bloom_ingest_dedup(

@@ -1640,6 +1640,8 @@ def test_scrub_pii_patterns(spark):
             (6, "pay 4111 1111 1111 1111 or 4111-1111-1111-1111 now"),
             (7, "id 4111111111111111 ok"),
             (8, "415-555-0123 starts the line"),
+            (9, "order 1234-5678-9012-3456-7890 shipped"),
+            (10, "ref 4111 1111 1111 1111 945 held"),
         ],
         "doc_id long, text string",
     )
@@ -1678,3 +1680,10 @@ def test_scrub_pii_patterns(spark):
     assert rows[6]["cards"] == 2
     assert rows[7]["clean"] == "id <CARD> ok"
     assert rows[8]["clean"] == "<PHONE> starts the line"
+    # the card guard's no-half-eaten contract: a 20-digit dash-grouped
+    # order id and a 19-digit space-grouped run must survive intact
+    # (the old \b-only pattern redacted their first 16 digits)
+    assert rows[9]["clean"] == "order 1234-5678-9012-3456-7890 shipped"
+    assert rows[9]["cards"] == 0
+    assert rows[10]["clean"] == "ref 4111 1111 1111 1111 945 held"
+    assert rows[10]["cards"] == 0 and rows[10]["phones"] == 0

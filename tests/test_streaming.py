@@ -423,3 +423,43 @@ def test_bloom_ingest_params_pinned_and_saturation_warns(spark, tmp_path):
         bloom_ingest_batch(b1, 1, out_dir, bloom_dir, n_bits=64, n_hashes=4)
     sat = [w for w in caught if "saturated" in str(w.message)]
     assert sat, "expected a saturation UserWarning past 50% density"
+
+
+def test_bloom_ingest_refuses_checkpoint_rewind(spark, tmp_path):
+    """Restarting the ingest with a fresh (or rolled-back) checkpoint
+    against a used bloom_dir restarts batch ids from 0: batch 0 would
+    probe only bits from batches < 0 (nothing), re-admit every
+    previously-seen text, and OVERWRITE the original batch-0 output.
+    The store already holding bits from a LATER batch is the
+    observable signature, and the kernel must refuse.  A genuine
+    replay of the LATEST batch (same id, foreachBatch crash-retry)
+    must still be accepted and stay idempotent."""
+    import datetime
+
+    import pytest
+
+    from pdfextract_spark.streaming import bloom_ingest_batch
+
+    out_dir = str(tmp_path / "out")
+    bloom_dir = str(tmp_path / "bloom")
+    ts = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    b0 = spark.createDataFrame(
+        [("c0", 0, "user", "seen document one", None, ts)], SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [("c1", 1, "user", "seen document two", None, ts)], SCHEMA
+    )
+    kw = dict(n_bits=1 << 12, n_hashes=4)
+    bloom_ingest_batch(b0, 0, out_dir, bloom_dir, **kw)
+    bloom_ingest_batch(b1, 1, out_dir, bloom_dir, **kw)
+
+    # replay of the LATEST committed batch: legal, idempotent
+    bloom_ingest_batch(b1, 1, out_dir, bloom_dir, **kw)
+    replayed = spark.read.parquet(f"{out_dir}/batch_id=1")
+    assert replayed.count() == 1
+
+    # fresh-checkpoint restart (batch ids rewound to 0): refuse
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        bloom_ingest_batch(b0, 0, out_dir, bloom_dir, **kw)
+    # and the committed batch-0 output was not clobbered
+    assert spark.read.parquet(f"{out_dir}/batch_id=0").count() == 1

@@ -241,9 +241,25 @@ def _run_retrieval(spark, corpus, n_docs, mult, cores, sf_dir) -> None:
             .where(F.abs(F.col("bm25") - F.col("base_bm25")) > 1e-9)
             .count()
         )
+        # the inner join above cannot see DROPPED rows (a mirror or
+        # base doc missing from the scores output would just shrink
+        # the join), so pin the counts too: an exact mirror matches
+        # the query iff its base does (identical text), so exactly
+        # mult//2 exact mirrors must be scored per scored base, and
+        # every one must pair with its base
+        n_base = base_sc.count()
+        n_exact = exact_sc.count()
+        n_paired = exact_sc.join(base_sc, "base_id").count()
         scores.unpersist()
     wall = _time.time() - t0
-    ok = agg["bad_score"] == 0 and mis == 0 and agg["scored"] >= n_even
+    ok = (
+        agg["bad_score"] == 0
+        and mis == 0
+        and agg["scored"] >= n_even
+        and n_base > 0
+        and n_exact == n_base * (mult // 2)
+        and n_paired == n_exact
+    )
     print(
         json.dumps(
             {
