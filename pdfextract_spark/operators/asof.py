@@ -66,6 +66,15 @@ def asof_join(
             f"reserved working names {_RESERVED}, or {out_ts!r}; "
             f"alias them before calling asof_join"
         )
+    # value_cols carrying a reserved name would build a match struct
+    # with duplicate fields and die later in an ambiguous-reference
+    # AnalysisException — reject here with the designed message
+    v_clash = [c for c in value_cols if c in _RESERVED]
+    if v_clash:
+        raise ValueError(
+            f"value_cols {v_clash} collide with the reserved working "
+            f"names {_RESERVED}; alias them before calling asof_join"
+        )
 
     match_type = (
         "struct<"

@@ -130,11 +130,19 @@ def bm25_scores(
     avgdl over documents with >= 1 token (the only ones the count
     table holds) — ride as a broadcast single-row frame: no
     driver-side action, the plan composes lazily."""
+    import re
     from collections import Counter
 
+    # the corpus tokenizer is Java regex \s+ (ASCII whitespace only —
+    # no UNICODE_CHARACTER_CLASS), so the query side must split on the
+    # SAME class: Python str.split() also breaks on Unicode whitespace
+    # (U+00A0 etc.), which would reject a corpus token that genuinely
+    # contains one as "multi-word" even though it is in the
+    # tokenizer's domain
+    ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
     normed = []
     for t in query_terms:
-        nt = " ".join(str(t).lower().split())
+        nt = ascii_ws.sub(" ", str(t).lower()).strip(" \t\n\x0b\f\r")
         if not nt:
             raise ValueError(
                 f"query term {t!r} is empty after normalization"

@@ -16,8 +16,15 @@ from pyspark.sql import functions as F
 
 def hash_bucket(col: Column, buckets: int = 16) -> Column:
     """Stable bucket in [0, buckets) from the md5 of a key column.
-    Uses the first 8 hex chars -> bigint, mod buckets."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+    Uses the first 8 hex chars -> bigint, mod buckets.  NULL keys
+    coalesce to a sentinel BEFORE hashing: md5(NULL) is NULL and
+    ``NULL < rate`` filters to nothing, so without the sentinel every
+    NULL-key row would be silently dropped even at a 100% sampling
+    rate.  All NULL keys form ONE hash class (they move through the
+    cut together — the determinism contract treats equal keys as one
+    unit, and SQL NULLs are indistinguishable)."""
+    s = F.coalesce(col.cast("string"), F.lit("\x00<null>"))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
         "bigint"
     ) % buckets
 
@@ -30,6 +37,19 @@ def hash_sample(
     return df.where(hash_bucket(F.col(key_col), of_buckets) < rate_buckets)
 
 
+def _part(col: Column) -> Column:
+    """Unambiguous NULL-safe encoding of one compound-key part: 'n'
+    for NULL, else 'v' + length + ':' + value.  The length prefix
+    makes part boundaries unambiguous — with a bare '#' separator,
+    (stratum='a#b', key='c') and (stratum='a', key='b#c') hashed
+    identically and always landed on the same side of the cut — and
+    the n/v flag separates NULL from the empty string."""
+    s = col.cast("string")
+    return F.when(s.isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v"), F.length(s).cast("string"), F.lit(":"), s)
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     stratum_col: str,
@@ -39,6 +59,11 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sample: the hash mixes the stratum in
     so one stratum's cut is independent of another's (a document id
-    reused across sources does not correlate their samples)."""
-    key = F.concat_ws("#", F.col(stratum_col), F.col(key_col).cast("string"))
+    reused across sources does not correlate their samples).  Parts
+    are length-prefix encoded (``_part``) so separator characters in
+    the data and NULLs cannot alias two different (stratum, key)
+    pairs onto one hash."""
+    key = F.concat(
+        _part(F.col(stratum_col)), F.lit("#"), _part(F.col(key_col))
+    )
     return df.where(hash_bucket(key, of_buckets) < rate_buckets)

@@ -55,10 +55,19 @@ def cosine_topk(
     The query is a literal array (constant-folded, shipped once per
     task); the scan is embarrassingly parallel; the final top-k is a
     single takeOrdered-style reduction (orderBy + limit lowers to
-    TakeOrderedAndProject — no full sort shuffle)."""
+    TakeOrderedAndProject — no full sort shuffle).
+
+    Un-scorable rows — NULL embeddings, or vectors of a different
+    length than the query (zip_with pads the short side with NULLs,
+    making the whole cosine NULL) — are excluded, so the top-k never
+    fills out with NULL-similarity rows; zero vectors keep the
+    explicit 0.0 from ``cosine_from_parts``."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     vec = F.col(vec_col).cast("array<double>")
-    scored = df.select(
+    scored = df.where(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == len(query_vec))
+    ).select(
         F.col(id_col),
         cosine(vec, q).alias("cos_sim"),
     )
@@ -149,7 +158,14 @@ def cosine_topk_ivf(
     vec = F.col(vec_col).cast("array<double>")
     allowed = probe_buckets(query_vec, planes, radius)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = df.where(lsh_bucket(vec, planes).isin(allowed))
+    # NULL/ragged embeddings would make every when(dot>=0) bit 0 and
+    # collapse into bucket 0 (inflating that probe cell) with a NULL
+    # cosine besides — exclude them like cosine_topk does
+    scorable = df.where(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == len(query_vec))
+    )
+    cand = scorable.where(lsh_bucket(vec, planes).isin(allowed))
     scored = cand.select(
         F.col(id_col), F.round(cosine(vec, q), 4).alias("cos_sim")
     )

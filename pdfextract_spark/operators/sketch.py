@@ -22,21 +22,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _md5_chunk_hash(col: Column, i: int, modulus: int) -> Column:
+    """hash_i(x) = bigint of the (i % 2)-th 12-hex chunk of
+    md5(x || '#' || i//2), mod ``modulus`` — the ONE
+    engine-reproducibility contract both sketches share (any
+    md5-equipped engine, e.g. the DuckDB oracle, rebuilds every
+    cell/bit bit-for-bit).  Two independent chunks per md5 (md5
+    output bits are independent) halve the md5 calls; the shared
+    md5(x#0)/md5(x#1) subtrees sit in one projection, where Catalyst
+    CSE eliminates them.  NULL coalesces to a sentinel BEFORE
+    hashing: md5(NULL) is NULL, which would otherwise poison the
+    join keys — a CMS point query would return 0 for a NULL item
+    that genuinely occurred (an undercount the CMS contract forbids)
+    and a bloom probe would report a false NEGATIVE."""
+    s = F.coalesce(col.cast("string"), F.lit("\x00<null>"))
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(s, F.lit(f"#{i // 2}"))),
+                (i % 2) * 12 + 1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(modulus),
+    )
+
+
 def _bucket(col: Column, d: int, width: int) -> Column:
-    # two independent 12-hex chunks per md5 (md5 output bits are
-    # independent), so depth-4 hashing costs 2 md5 calls per item, not
-    # 4; the shared md5(x#0)/md5(x#1) subtrees sit in ONE projection,
-    # where Catalyst CSE does eliminate them (unlike across aggregates)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(col.cast("string"), F.lit(f"#{d // 2}"))),
-            (d % 2) * 12 + 1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return F.pmod(h, F.lit(width))
+    return _md5_chunk_hash(col, d, width)
 
 
 def cms_build(
@@ -126,29 +141,10 @@ def cms_point_query(
 
 def _bit_positions(col: Column, n_hashes: int, n_bits: int) -> Column:
     """array<bigint>: the ``n_hashes`` bloom-bit positions of an item
-    — hash_i(x) = bigint of a 12-hex chunk of md5(x || '#' || i//2)
-    (two independent chunks per md5, same trick as the CMS cells), mod
-    ``n_bits``.  md5-based so any SQL engine reproduces every bit.
-    NULL items hash as a sentinel (md5(NULL) would poison the join
-    keys into a false NEGATIVE, which a bloom filter must never
-    produce)."""
-    s = F.coalesce(col.cast("string"), F.lit("\x00<null>"))
+    (``_md5_chunk_hash`` — the shared cell/bit hashing contract,
+    NULL-sentinel included)."""
     return F.array(
-        *[
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(s, F.lit(f"#{i // 2}"))),
-                        (i % 2) * 12 + 1,
-                        12,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
-                F.lit(n_bits),
-            )
-            for i in range(n_hashes)
-        ]
+        *[_md5_chunk_hash(col, i, n_bits) for i in range(n_hashes)]
     )
 
 
@@ -206,7 +202,18 @@ def bloom_contains(
     left-joins the <= n_bits-row set-bit table (far under the
     auto-broadcast threshold at practical sizes, so the probe side
     never shuffles); the all-bits test is a count aggregate, never a
-    per-row scan of the filter."""
+    per-row scan of the filter.
+
+    The BLOOM side is deduplicated here too: a duplicated bit row
+    (e.g. a raw ``unionByName`` of two filters without
+    ``bloom_merge``'s distinct, or rows read straight from a
+    multi-batch store) would multiply the join and push the count
+    PAST n_hashes, flipping an inserted item to a false NEGATIVE —
+    the one failure the contract forbids, so the guard lives in the
+    operator, not in every caller.  (The probe side's own k positions may
+    legitimately collide on one bit; with a distinct bloom side each
+    colliding probe row still matches, keeping the sum at exactly
+    n_hashes for inserted items.)"""
     probes = (
         items.select(col)
         .distinct()
@@ -217,7 +224,7 @@ def bloom_contains(
             ).alias("bit"),
         )
     )
-    hit = bloom.withColumn("_set", F.lit(1))
+    hit = bloom.select("bit").distinct().withColumn("_set", F.lit(1))
     joined = probes.join(hit, "bit", "left")
     return joined.groupBy(col).agg(
         (F.sum(F.coalesce("_set", F.lit(0))) == n_hashes).alias(

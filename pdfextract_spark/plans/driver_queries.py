@@ -2321,7 +2321,10 @@ def decontaminate_ngram(spark, sf_dir):
     SELECT source, count(*) AS n_sampled,
            min(doc_id) AS min_id, max(doc_id) AS max_id
     FROM documents
-    WHERE substring(md5(concat(source, '#', doc_id)), 8, 1)
+    WHERE substring(md5(
+            'v' || length(source) || ':' || source ||
+            '#v' || length(doc_id::VARCHAR) || ':' || doc_id
+          ), 8, 1)
           IN ('0', '1', '2', '3')
     GROUP BY source
     """,
@@ -2330,8 +2333,12 @@ def sample_stratified_hash(spark, sf_dir):
     """Deterministic stratified sampling (training-data op): md5-hash
     cut keeps the same 25% of each source on every run/engine —
     reproducible under retries and resumable jobs, unlike df.sample.
-    (bucket < 4 of 16 on the first-8-hex-chars hash is exactly '8th
-    hex char in 0..3', which is how the oracle states it.)"""
+    The compound key is length-prefix encoded (sampling._part) so a
+    separator character inside a stratum or key value cannot alias
+    two different (stratum, key) pairs; the oracle spells the same
+    encoding out inline.  (bucket < 4 of 16 on the first-8-hex-chars
+    hash is exactly '8th hex char in 0..3', which is how the oracle
+    states it.)"""
     from ..operators.sampling import stratified_hash_sample
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3949,11 +3956,14 @@ def p2_drop_spatial(spark, sf_dir):
 #   evidence; no registered query's latest driver row is older
 #   than r04 after this rotation.
 _GRADE_PRIORITY = [
-    # 1: implementation touched in round 5
+    # 1: implementation touched in round 5 (incl. the late review
+    #    fixes: NULL-sentinel sketch hashing + bloom-side dedup ->
+    #    sketch_count_min / sketch_bloom rotated back IN)
     "dedup_substring_stats", "dedup_substring_stats_8x",
     "dedup_substring_spans",
     "dedup_substring_strip", "scrub_pii", "text_bm25",
     "near_dup_dedup", "lsh_dedup_clusters",
+    "sketch_count_min", "sketch_bloom",
     # 2: latest driver row is r03
     "p10_j2_containment_join", "j3_scanline_incidence",
     "a2_islands_sessionize", "a4_interval_union_stats",
@@ -3970,14 +3980,18 @@ _GRADE_PRIORITY = [
     "top_terms_per_source", "a12_kmeans_centers",
     "a13_svm_reference_score", "scrub_urls_emails", "j6_asof_join",
     "hypertable_rollup",
-    # 3: extract-path composites (plans/extract.py touched this round)
-    "pipeline_regions", "pipeline_references", "pipeline_titles",
-    "pipeline_sections", "pipeline_metrics",
+    # 3: extract-path composites (plans/extract.py touched this
+    #    round; pipeline_titles and pipeline_metrics rotated OUT to
+    #    make room for the two review-touched sketch queries — both
+    #    r04-green, and the carry/projection surface stays covered by
+    #    regions/references/sections/resolved_references/s8)
+    "pipeline_regions", "pipeline_references",
+    "pipeline_sections",
     "pipeline_resolved_references",
     "s8_projection_parity",
     # dropped to fit the 50-slot window (all r04 driver-green and
-    # covered by the full-battery matrix): sketch_bloom,
-    # sketch_count_min, dedup_exact, dedup_paragraph_exact,
+    # covered by the full-battery matrix): pipeline_titles,
+    # pipeline_metrics, dedup_exact, dedup_paragraph_exact,
     # dedup_minhash_bands, dedup_ngram_jaccard, dedup_embedding_cosine,
     # dedup_simhash_pairs, dedup_duplicate_clusters, j1_interval_join,
     # pipeline_font_metrics, pipeline_page_dims, p1_empty_filter,

@@ -180,15 +180,11 @@ def bloom_ingest_batch(
                     stacklevel=2,
                 )
         if bits is not None and set_bits > 0:
-            # distinct-ed before the probe: bloom_contains counts
-            # joined rows against n_hashes, so a bit stored by two
-            # batches would double-count and flip an inserted item to
-            # a false NEGATIVE
-            prior = (
-                bits.where(F.col("batch_id") < batch_id)
-                .select("bit")
-                .distinct()
-            )
+            # a bit stored by two batches appears twice here;
+            # bloom_contains dedups its bloom side itself (the
+            # false-negative guard lives in the operator), so no
+            # caller-side distinct is needed
+            prior = bits.where(F.col("batch_id") < batch_id).select("bit")
             novel = (
                 bloom_contains(
                     prior, first.select("_h"), "_h", n_bits, n_hashes

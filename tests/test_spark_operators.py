@@ -511,6 +511,57 @@ def test_hash_sample_deterministic_and_stratified(spark):
     assert flat != a
 
 
+def test_sampling_null_keys_and_compound_key_ambiguity(spark):
+    """Review-pass contracts: (a) hash_sample must not silently drop
+    NULL-key rows — at a 16/16 rate EVERYTHING survives, NULLs
+    included (md5(NULL) is NULL, which used to filter them out); (b)
+    the stratified compound key is length-prefix encoded, so
+    (stratum='a#b', key='c') and (stratum='a', key='b#c') — identical
+    under the old bare-'#' concat — now decide independently of the
+    literal 'a#b#c' spelling, and NULL stratum/key rows are neither
+    dropped nor aliased to the empty string."""
+    from pdfextract_spark.operators.sampling import (
+        hash_bucket,
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("k1",), (None,), ("k2",), (None,)], "doc_key string"
+    )
+    kept = hash_sample(df, "doc_key", 16, 16)
+    assert kept.count() == 4  # 100% rate keeps NULL keys too
+
+    amb = spark.createDataFrame(
+        [
+            (1, "a#b", "c"),
+            (2, "a", "b#c"),
+            (3, None, "a#b#c"),
+            (4, "", "a#b#c"),
+        ],
+        "row_id long, stratum string, key string",
+    )
+    # all four rows hashed identically under the old concat_ws key
+    # (concat_ws skips NULLs); the encoded key must give them distinct
+    # hash inputs — verify via the bucket of the encoded key itself
+    from pdfextract_spark.operators.sampling import _part
+
+    enc = amb.select(
+        "row_id",
+        F.concat(
+            _part(F.col("stratum")), F.lit("#"), _part(F.col("key"))
+        ).alias("enc"),
+    )
+    encs = {r["row_id"]: r["enc"] for r in enc.collect()}
+    assert len(set(encs.values())) == 4, encs
+    # and a NULL-stratum row is still eligible for sampling at all
+    full = stratified_hash_sample(amb, "stratum", "key", 16, 16)
+    assert full.count() == 4
+    # hash_bucket itself is NULL-safe and in range
+    b = amb.select(hash_bucket(F.col("stratum")).alias("b")).collect()
+    assert all(r["b"] is not None and 0 <= r["b"] < 16 for r in b)
+
+
 def test_repetition_and_gopher_flags(spark):
     from pdfextract_spark.operators.quality import (
         gopher_quality_flags,
@@ -1687,3 +1738,115 @@ def test_scrub_pii_patterns(spark):
     assert rows[9]["cards"] == 0
     assert rows[10]["clean"] == "ref 4111 1111 1111 1111 945 held"
     assert rows[10]["cards"] == 0 and rows[10]["phones"] == 0
+
+
+def test_cms_null_items_never_undercount(spark):
+    """The CMS never-undercount contract must hold for NULL items
+    too: md5(NULL) is NULL, so without the shared sentinel a NULL
+    item's cells would be NULL-keyed, the point-query join would
+    never match, and est_count would read 0 for an item with 1000
+    true occurrences."""
+    from pdfextract_spark.operators.sketch import (
+        cms_build,
+        cms_point_query,
+    )
+
+    rows = [(None,)] * 50 + [("alpha",)] * 7 + [("beta",)] * 3
+    df = spark.createDataFrame(rows, "term string")
+    sk = cms_build(df, "term", depth=4, width=64)
+    items = spark.createDataFrame(
+        [(None,), ("alpha",), ("beta",)], "term string"
+    )
+    est = {
+        r["term"]: r["est_count"]
+        for r in cms_point_query(sk, items, "term", depth=4, width=64).collect()
+    }
+    assert est[None] >= 50, est
+    assert est["alpha"] >= 7 and est["beta"] >= 3
+
+
+def test_bloom_contains_guards_duplicated_bloom_bits(spark):
+    """A duplicated bit row on the bloom side (raw unionByName of two
+    filters without bloom_merge's distinct, or a multi-batch store
+    read) used to multiply the join and push the all-bits count past
+    n_hashes — a false NEGATIVE for an inserted item.  The dedup
+    guard now lives inside bloom_contains."""
+    from pdfextract_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    items = spark.createDataFrame([("x",), ("y",)], "item string")
+    f = bloom_build(items, "item", n_bits=1 << 16, n_hashes=4)
+    dup = f.unionByName(f)  # every bit twice — no distinct
+    got = {
+        r["item"]: r["may_contain"]
+        for r in bloom_contains(
+            dup, items, "item", n_bits=1 << 16, n_hashes=4
+        ).collect()
+    }
+    assert got == {"x": True, "y": True}, got
+
+
+def test_cosine_topk_excludes_null_and_ragged_embeddings(spark):
+    """NULL embeddings and vectors of a different length than the
+    query produce NULL cosines (zip_with pads with NULLs); both
+    top-k variants must exclude them instead of padding the result
+    with NULL-similarity rows (and, in the IVF variant, collapsing
+    them all into probe bucket 0)."""
+    from pdfextract_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, None),
+        (4, [1.0, 0.0]),  # ragged
+        (5, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0, 0.0]
+    got = cosine_topk(df, q, k=10).collect()
+    assert {r["vec_id"] for r in got} == {1, 2, 5}
+    assert all(r["cos_sim"] is not None for r in got)
+    got_ivf = cosine_topk_ivf(df, q, k=10, n_planes=4, radius=4).collect()
+    assert {r["vec_id"] for r in got_ivf} <= {1, 2, 5}
+    assert all(r["cos_sim"] is not None for r in got_ivf)
+
+
+def test_asof_join_rejects_reserved_value_cols(spark):
+    """value_cols carrying a reserved working name used to die later
+    in an ambiguous-reference AnalysisException from the duplicate
+    struct field; the clash check must reject it up front."""
+    import pytest
+
+    from pdfextract_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10.0)], "k long, ts double")
+    right = spark.createDataFrame(
+        [(1, 9.0, 5.0, 100)], "k long, ts double, _rts double, rid long"
+    )
+    with pytest.raises(ValueError, match="_rts"):
+        asof_join(
+            left, right, on=["k"], ts_col="ts",
+            value_cols=["_rts"], right_id_col="rid",
+        )
+
+
+def test_bm25_accepts_corpus_token_with_unicode_whitespace(spark):
+    """The corpus tokenizer is Java \\s+ (ASCII), so a token
+    containing U+00A0 is in the tokenizer's domain; the query-side
+    normalization must not split it (Python str.split breaks on
+    Unicode whitespace) and reject it as multi-word."""
+    from pdfextract_spark.operators.retrieval import bm25_scores
+
+    tok = "foo bar"
+    df = spark.createDataFrame(
+        [(1, f"{tok} plain words"), (2, "plain words only")],
+        "doc_id long, text string",
+    )
+    got = bm25_scores(df, [tok]).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 1
+    assert got[0]["bm25"] > 0
