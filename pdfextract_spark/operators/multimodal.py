@@ -69,6 +69,18 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     return arr
 
 
+def _pool(raw: np.ndarray, feat_dim: int) -> np.ndarray:
+    """Deterministic fixed-dim pooling (mean over strides) — THE
+    pooling idiom all three feature paths share, kept in one place so
+    the empty-input contract cannot drift: an empty decode (0x0 image
+    through PIL, NULL payload) pools to the all-zero signature, since
+    a zero-width mean would be NaN plus a RuntimeWarning."""
+    if raw.size == 0:
+        return np.zeros(feat_dim)
+    pad = (-raw.size) % feat_dim
+    return np.pad(raw, (0, pad)).reshape(feat_dim, -1).mean(axis=1)
+
+
 def decode_image(payload: bytes, use_stub: bool = True) -> np.ndarray:
     """Image bytes -> flat float32 pixel array.
 
@@ -146,15 +158,7 @@ def media_features(
                             f"{type(exc).__name__}: {exc}"
                         ) from exc
                     raw = np.zeros(0, dtype=np.float32)
-                if raw.size == 0:  # e.g. a 0x0 image through PIL
-                    pooled = np.zeros(feat_dim)
-                else:
-                    # deterministic fixed-dim pooling (mean over strides)
-                    pad = (-raw.size) % feat_dim
-                    pooled = (
-                        np.pad(raw, (0, pad)).reshape(feat_dim, -1).mean(axis=1)
-                    )
-                feats.append(pooled.astype(np.float32).tolist())
+                feats.append(_pool(raw, feat_dim).astype(np.float32).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -221,16 +225,14 @@ def sample_frames(
             for mid, dur, payload in zip(
                 pdf["media_id"], pdf["duration_ms"], pdf["payload"]
             ):
+                # a NULL media_id (NaN here) has no identity to emit
+                # frame rows under — skip the row rather than letting
+                # int(NaN) abort the whole task, consistent with the
+                # NULL-duration and NULL-payload tolerance below
+                if pd.isna(mid):
+                    continue
                 raw = _decode_image_stub(bytes(payload or b""))
-                if raw.size == 0:
-                    # empty/NULL payload: zero-width mean is NaN +
-                    # RuntimeWarning — emit a defined 0.0 signature
-                    pooled = np.zeros(feat_dim)
-                else:
-                    pad = (-raw.size) % feat_dim
-                    pooled = (
-                        np.pad(raw, (0, pad)).reshape(feat_dim, -1).mean(axis=1)
-                    )
+                pooled = _pool(raw, feat_dim)
                 # NULL duration arrives as NaN through pandas: treat as
                 # unknown-length -> sample a single frame, don't crash
                 d = 0 if pd.isna(dur) else int(dur)
@@ -283,13 +285,9 @@ def resize_media(
                 xs = np.linspace(0.0, 1.0, num=raw.size, endpoint=False)
                 xq = np.linspace(0.0, 1.0, num=n_out, endpoint=False)
                 resized = np.interp(xq, xs, raw)
-                pad = (-resized.size) % feat_dim
-                pooled = (
-                    np.pad(resized, (0, pad))
-                    .reshape(feat_dim, -1)
-                    .mean(axis=1)
+                feats.append(
+                    _pool(resized, feat_dim).astype(np.float32).tolist()
                 )
-                feats.append(pooled.astype(np.float32).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

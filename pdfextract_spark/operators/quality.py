@@ -262,10 +262,22 @@ PHONE_RE = r"(^|[^\d])" + PHONE_BODY_RE
 # space or dash read as one longer grouped run and are both skipped —
 # indistinguishable from a long order id without lookahead.
 CARD_RE = (
-    r"(^|[^\d \-]|[^\d \-][ \-]+)"
+    r"(^[ \-]*|[^\d \-][ \-]*)"
     r"((?:\d{4}[ -]?){3}\d{4})"
     r"($|[^\d \-]|[ \-]+[^\d \-]|[ \-]+$)"
 )
+# The consuming right guard means a match eats the character that
+# would anchor the NEXT card's left guard ('...1111, 5500 0000 0000
+# 0004.' — the comma is consumed, so the second card sees only a
+# space and is skipped).  Applying the replace TWICE closes this
+# exactly: every pass-1 skip still has its full left context in the
+# pass-1 OUTPUT (guards are re-emitted, only the scan position
+# consumed them), and two pass-1 skips can never be adjacent (a skip
+# requires a MATCH immediately before it), so pass 2 catches every
+# one and a third pass finds nothing — the replace is idempotent
+# after two passes.  ``card_count`` mirrors with count(text) +
+# count(once-replaced text); placeholder tokens contain no digits,
+# so nothing double-counts.
 
 
 def scrub_pii(
@@ -287,9 +299,12 @@ def scrub_pii(
     regex projections — zero Python, zero shuffles."""
     clean = scrub_urls_emails(col, url_token, email_token)
     clean = F.regexp_replace(clean, IPV4_RE, _quote_replacement(ip_token))
-    clean = F.regexp_replace(
-        clean, CARD_RE, "$1" + _quote_replacement(card_token) + "$3"
-    )
+    card_repl = "$1" + _quote_replacement(card_token) + "$3"
+    # twice: the consuming right guard can starve the NEXT card's
+    # left guard within one pass (see the CARD_RE comment); pass 2
+    # provably catches every pass-1 skip and is then idempotent
+    clean = F.regexp_replace(clean, CARD_RE, card_repl)
+    clean = F.regexp_replace(clean, CARD_RE, card_repl)
     return F.regexp_replace(
         clean, PHONE_RE, "$1" + _quote_replacement(phone_token)
     )
@@ -303,8 +318,15 @@ def ip_count(col: Column) -> Column:
 
 def card_count(col: Column) -> Column:
     """Raw 16-digit card-shaped matches (count on the IP-scrubbed text
-    for counts disjoint from IPv4 addresses)."""
-    return F.regexp_count(col, F.lit(CARD_RE))
+    for counts disjoint from IPv4 addresses).  Two-pass like the
+    scrub (see the CARD_RE comment): pass 1's consuming right guard
+    can hide an adjacent second card, so the count adds the matches a
+    second pass finds on the once-replaced text (tokens are
+    digit-free — nothing double-counts)."""
+    once = F.regexp_replace(col, CARD_RE, "$1<CARD>$3")
+    return F.regexp_count(col, F.lit(CARD_RE)) + F.regexp_count(
+        once, F.lit(CARD_RE)
+    )
 
 
 def phone_count(col: Column) -> Column:

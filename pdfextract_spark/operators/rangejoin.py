@@ -108,6 +108,18 @@ def interval_join(
         )
     if not cell_width > 0:
         raise ValueError(f"cell_width must be > 0, got {cell_width}")
+    # the working column must not shadow caller data: withColumn would
+    # silently overwrite an existing '_cell' and the final drop would
+    # remove it from the output (this operator preserves all input
+    # columns, so it cannot project the way merge_intervals does)
+    clash = [df_name for df_name, df in (("a", a), ("b", b))
+             if "_cell" in df.columns]
+    if clash:
+        raise ValueError(
+            f"input(s) {clash} carry a column named '_cell', which "
+            f"interval_join uses as its internal grid-cell name; "
+            f"rename it before calling"
+        )
     ae = a.withColumn("_cell", F.explode(_cells(F.col(a_lo), F.col(a_hi), cell_width)))
     be = b.withColumn("_cell", F.explode(_cells(F.col(b_lo), F.col(b_hi), cell_width)))
     if prefer_shuffle_hash:

@@ -2861,23 +2861,32 @@ def scrub_urls_emails(spark, sf_dir):
     s2 AS (
       SELECT doc_id, text, no_ip,
              regexp_replace(no_ip,
-               '(^|[^\d \-]|[^\d \-][ \-]+)((?:\d{4}[ -]?){3}\d{4})($|[^\d \-]|[ \-]+[^\d \-]|[ \-]+$)',
-               '\1<CARD>\3', 'g') AS no_card
+               '(^[ \-]*|[^\d \-][ \-]*)((?:\d{4}[ -]?){3}\d{4})($|[^\d \-]|[ \-]+[^\d \-]|[ \-]+$)',
+               '\1<CARD>\3', 'g') AS no_card1
       FROM s
+    ),
+    s3 AS (
+      SELECT doc_id, text, no_ip, no_card1,
+             regexp_replace(no_card1,
+               '(^[ \-]*|[^\d \-][ \-]*)((?:\d{4}[ -]?){3}\d{4})($|[^\d \-]|[ \-]+[^\d \-]|[ \-]+$)',
+               '\1<CARD>\3', 'g') AS no_card
+      FROM s2
     )
     SELECT doc_id,
            len(regexp_extract_all(text,
              '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::INT AS n_ips,
-           len(regexp_extract_all(no_ip,
-             '(^|[^\d \-]|[^\d \-][ \-]+)((?:\d{4}[ -]?){3}\d{4})($|[^\d \-]|[ \-]+[^\d \-]|[ \-]+$)'
-           ))::INT AS n_cards,
+           (len(regexp_extract_all(no_ip,
+             '(^[ \-]*|[^\d \-][ \-]*)((?:\d{4}[ -]?){3}\d{4})($|[^\d \-]|[ \-]+[^\d \-]|[ \-]+$)'
+           )) + len(regexp_extract_all(no_card1,
+             '(^[ \-]*|[^\d \-][ \-]*)((?:\d{4}[ -]?){3}\d{4})($|[^\d \-]|[ \-]+[^\d \-]|[ \-]+$)'
+           )))::INT AS n_cards,
            len(regexp_extract_all(no_card,
              '(^|[^\d])(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b'
            ))::INT AS n_phones,
            md5(regexp_replace(no_card,
              '(^|[^\d])(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b',
              '\1<PHONE>', 'g')) AS clean_hash
-    FROM s2
+    FROM s3
     """,
 )
 def scrub_pii(spark, sf_dir):
@@ -2920,7 +2929,13 @@ def scrub_pii(spark, sf_dir):
         Qx.IPV4_RE,
         "<IP>",
     )
-    no_card = F.regexp_replace(no_ip, Qx.CARD_RE, "$1<CARD>$3")
+    # twice, like the operator: the consuming right guard can starve
+    # an adjacent second card's left guard within one pass
+    no_card = F.regexp_replace(
+        F.regexp_replace(no_ip, Qx.CARD_RE, "$1<CARD>$3"),
+        Qx.CARD_RE,
+        "$1<CARD>$3",
+    )
     return t.select(
         "doc_id",
         Qx.ip_count(F.col("text")).cast("int").alias("n_ips"),

@@ -261,6 +261,17 @@ def test_interval_join_matches_naive_theta(spark):
         [(1, 5, 5)], "page int, a_lo long, a_hi long"
     )
     assert auto_cell_width(pts, pts, "a_lo", "a_hi", "a_lo", "a_hi") == 1.0
+    # a pre-existing '_cell' column would be silently overwritten and
+    # then dropped from the output — must be rejected up front
+    import pytest as _pytest
+
+    poisoned = a.withColumn("_cell", F.lit(1))
+    with _pytest.raises(ValueError, match="_cell"):
+        interval_join(
+            poisoned, b, ["page"],
+            a_lo="a_lo", a_hi="a_hi", b_lo="b_lo", b_hi="b_hi",
+            cell_width=16.0,
+        )
 
 
 def test_sample_frames_fanout_and_determinism(spark):
@@ -298,6 +309,14 @@ def test_sample_frames_fanout_and_determinism(spark):
     )
     rows = M.sample_frames(empty, every_ms=250).collect()
     assert len(rows) == 8 and all(r["frame_sig"] == 0.0 for r in rows)
+    # a NULL media_id row is skipped (no identity to emit frames
+    # under) instead of int(NaN) aborting the whole task
+    with_null = spark.createDataFrame(
+        [(None, 1000, b"x"), (902, 1000, b"y")],
+        "media_id long, duration_ms long, payload binary",
+    )
+    rows = M.sample_frames(with_null, every_ms=250).collect()
+    assert {r["media_id"] for r in rows} == {902} and len(rows) == 4
 
 
 def test_decode_image_paths(spark):
@@ -1693,6 +1712,9 @@ def test_scrub_pii_patterns(spark):
             (8, "415-555-0123 starts the line"),
             (9, "order 1234-5678-9012-3456-7890 shipped"),
             (10, "ref 4111 1111 1111 1111 945 held"),
+            (11, "cards: 4111 1111 1111 1111, 5500 0000 0000 0004."),
+            (12, " 4111 1111 1111 1111 leads after a space"),
+            (13, "a 4111111111111111 b 5500000000000004 c"),
         ],
         "doc_id long, text string",
     )
@@ -1738,6 +1760,15 @@ def test_scrub_pii_patterns(spark):
     assert rows[9]["cards"] == 0
     assert rows[10]["clean"] == "ref 4111 1111 1111 1111 945 held"
     assert rows[10]["cards"] == 0 and rows[10]["phones"] == 0
+    # the two-pass contract: a match's consumed right guard must not
+    # hide the NEXT card (every second card leaked in one pass), and
+    # a card preceded only by leading whitespace must still redact
+    assert rows[11]["clean"] == "cards: <CARD>, <CARD>."
+    assert rows[11]["cards"] == 2
+    assert rows[12]["clean"] == " <CARD> leads after a space"
+    assert rows[12]["cards"] == 1
+    assert rows[13]["clean"] == "a <CARD> b <CARD> c"
+    assert rows[13]["cards"] == 2
 
 
 def test_cms_null_items_never_undercount(spark):
