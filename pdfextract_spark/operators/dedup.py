@@ -122,6 +122,14 @@ def minhash_bands(
     before the single shuffle.  (The naive nested-expression form
     recomputes the shingle array once per seed — 16x the hashing — and
     defeats whole-stage codegen with a giant expression tree.)"""
+    if band_size <= 0 or num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a positive multiple of "
+            f"band_size={band_size}: a remainder silently wastes "
+            f"hashes (changing recall vs the configured signature) "
+            f"and band_size > num_hashes would emit ZERO bands — no "
+            f"candidate pairs at all, with no error"
+        )
     n_bands = num_hashes // band_size
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
@@ -406,7 +414,13 @@ def simhash(col: Column, bits: int = 16) -> Column:
     DuckDB oracle states the identical expression.  Single-bigint form
     (bits <= 32); for the production 64-bit fingerprint use
     ``simhash_table_wide``, which chunks the bits across columns to
-    bound both codegen'd expression size and the 2^j weight literals."""
+    bound both codegen'd expression size and the 2^j weight literals.
+
+    NULL/empty text maps to fingerprint 0 (an empty token stream has
+    no positive bit sums) — 0 therefore means "no signal", colliding
+    with any legitimately all-negative fingerprint; filter NULL texts
+    out first when 0 must stay unambiguous (``simhash_table_wide``
+    excludes them outright)."""
     if bits > 32:
         raise ValueError(
             f"simhash single-bigint form supports <= 32 bits (got {bits}); "
@@ -489,9 +503,17 @@ def simhash_table_wide(
     least one chunk matches exactly (pigeonhole) — ``simhash_pairs_64``
     unions one equi-join per chunk for full recall at distance <= 3.
     The token-hex array is projected once; each chunk's per-bit
-    aggregates read their own nibble range."""
+    aggregates read their own nibble range.
+
+    NULL-text documents are EXCLUDED (explicitly, with this
+    documented contract): a NULL text has no token stream to
+    fingerprint, and the previous silent behavior — NULL fp chunks
+    that the Hamming equi-join then dropped — hid those rows without
+    any signal.  Route NULL texts through the exact-dedup operators
+    (which group them deliberately) instead."""
     if bits % chunk_bits:
         raise ValueError(f"bits={bits} not divisible by chunk_bits={chunk_bits}")
+    df = df.where(F.col(text_col).isNotNull())
     tokens = F.split(normalize_text(F.col(text_col)), " ")
     hx = df.select(
         F.col(id_col),
@@ -636,7 +658,11 @@ def paragraph_dedup(
         df.select(
             F.col(id_col),
             F.posexplode(
-                F.split(F.col(text_col), r"\n{2,}")
+                # (?:\r?\n){2,}: a CRLF document's blank line is
+                # \r\n\r\n — \n{2,} never matches it (a \r sits
+                # between the newlines), silently treating the whole
+                # doc as ONE paragraph and no-opping the dedup
+                F.split(F.col(text_col), r"(?:\r?\n){2,}")
             ).alias("_idx0", "_para"),
         )
         .select(
@@ -1145,7 +1171,12 @@ def near_dup_dedup(
     operator matters) is fenced here, and the sub-operators fence
     their self-joined intermediates (band + shingle tables) — wrap
     the call in ``fence.fence_scope()`` to release those blocks after
-    consuming the result, or pass ``fence=False`` for pure lineage."""
+    consuming the result.  ``fence=False`` keeps pure lineage for the
+    exact-group/LSH stages ONLY: the connected-components closure
+    ALWAYS checkpoints per round regardless (iterative pointer
+    jumping without truncation grows an exponential plan — there is
+    no recomputable form), so even fence=False callers should use
+    ``fence_scope()`` to release the CC rounds' blocks."""
     k = lsh_kw.get("k", 3)
     # NULL-safe group key: md5(NULL) is NULL, and a NULL key would
     # survive the groupBy but never match the equi-join below — the

@@ -38,11 +38,18 @@ def flex_threshold(
     score_col: str,
     flex: float,
 ) -> DataFrame:
-    """P8: keep rows with score >= group_max * (1 - flex)
-    (references.rb:196-209).  Window max avoids a self-join."""
+    """P8: keep rows within ``flex`` of the group max
+    (references.rb:196-209).  Window max avoids a self-join.
+
+    The threshold is ``mx - flex * abs(mx)``: for nonnegative maxima
+    (the reference's score domain) this is exactly the historical
+    ``mx * (1 - flex)``, and for a NEGATIVE group max it still keeps
+    the max row — ``mx * (1 - flex)`` sits ABOVE a negative max, so
+    the whole group (max included) silently vanished."""
     w = Window.partitionBy(*part_cols)
     return df.withColumn("_mx", F.max(score_col).over(w)).where(
-        F.col(score_col) >= F.col("_mx") * (1.0 - flex)
+        F.col(score_col)
+        >= F.col("_mx") - flex * F.abs(F.col("_mx"))
     ).drop("_mx")
 
 

@@ -35,18 +35,22 @@ _STOP = (
 
 def _tokens(col: Column) -> Column:
     """Lowercased alphanumeric tokens of length >= 3, stopwords and
-    pure numbers dropped — the discriminative vocabulary of a
-    citation."""
+    pure numbers dropped, DISTINCT — the discriminative vocabulary of
+    a citation.  Distinct matters for the score: array_intersect is
+    set-valued, so with a multiset denominator a catalog title
+    repeating a token ('Data, data, data: ...') could never reach the
+    score its distinct overlap earns — repeated enough, the entry
+    becomes permanently unresolvable below min_score."""
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")), " "
     )
     stop = F.array(*[F.lit(w) for w in _STOP])
-    return F.filter(
+    return F.array_distinct(F.filter(
         toks,
         lambda t: (F.length(t) >= 3)
         & ~F.array_contains(stop, t)
         & t.rlike("[a-z]"),
-    )
+    ))
 
 
 def _year(col: Column) -> Column:
@@ -79,11 +83,17 @@ def resolve_references(
     ambiguous duplicate names, so that is rejected up front (same
     contract style as rangejoin's reserved-column guard)."""
     appended = ("doi", "score", "title", "author", "year")
-    clash = [c for c in refs.columns if c in appended]
+    # the internal working names are guarded too: withColumn would
+    # silently overwrite a caller's _rid (etc.) and the output's
+    # select(*refs.columns, ...) would then return the surrogate ids
+    # in place of the user's data
+    reserved = appended + ("_rid", "_rtoks", "_ryear")
+    clash = [c for c in refs.columns if c in reserved]
     if clash:
         raise ValueError(
             f"refs already has column(s) {clash}; resolve_references "
-            f"appends {list(appended)} — drop or rename them first"
+            f"appends {list(appended)} and uses working names "
+            f"('_rid', '_rtoks', '_ryear') — drop or rename them first"
         )
     r = (
         refs.withColumn("_rid", F.monotonically_increasing_id())

@@ -23,7 +23,12 @@ def ideal_score(
     cur = df
     for f, (ideal, weight) in ideals.items():
         d_raw = F.abs(F.col(f) - F.lit(float(ideal)))
-        d = F.when(F.isnan(d_raw), F.lit(1.0)).otherwise(d_raw)
+        # a NULL feature must degrade like the NaN worst case, not
+        # propagate NULL through the contribution sum and erase every
+        # OTHER feature's weight from the row's score
+        d = F.when(
+            F.col(f).isNull() | F.isnan(d_raw), F.lit(1.0)
+        ).otherwise(d_raw)
         dcol = f"_d_{f}"
         cur = cur.withColumn(dcol, d)
         mx = F.max(F.col(dcol)).over(w)

@@ -2168,11 +2168,15 @@ _J5_STOP = (
     "'a','an','and','the','of','in','on','for','with','to','at','by',"
     "'journal','proceedings','conference','press','vol','pp'"
 )
+# list_distinct mirrors resolve._tokens' DISTINCT contract: the score
+# is |distinct overlap| / |distinct catalog tokens|, so a repeated
+# catalog token cannot depress the entry's score ceiling
 _J5_TOK = (
-    "list_filter(string_split(trim(regexp_replace(lower({c}), "
+    "list_distinct(list_filter(string_split(trim(regexp_replace("
+    "lower({c}), "
     "'[^a-z0-9]+', ' ', 'g')), ' '), t -> length(t) >= 3 "
     "AND regexp_matches(t, '[a-z]') "
-    f"AND NOT list_contains([{_J5_STOP}], t))"
+    f"AND NOT list_contains([{_J5_STOP}], t)))"
 )
 
 @q(
@@ -2714,7 +2718,7 @@ def a13_svm_reference_score(spark, sf_dir):
       SELECT doc_id,
              UNNEST(list_zip(range(1, len(parts) + 1), parts)) AS u
       FROM (
-        SELECT doc_id, string_split_regex(text, '\n{2,}') AS parts
+        SELECT doc_id, string_split_regex(text, '(?:\r?\n){2,}') AS parts
         FROM corpus
       )
     ),

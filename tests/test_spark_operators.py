@@ -1881,3 +1881,131 @@ def test_bm25_accepts_corpus_token_with_unicode_whitespace(spark):
     got = bm25_scores(df, [tok]).collect()
     assert len(got) == 1 and got[0]["doc_id"] == 1
     assert got[0]["bm25"] > 0
+
+
+def test_flex_threshold_negative_group_max_keeps_max(spark):
+    """mx * (1 - flex) sits ABOVE a negative group max, so the whole
+    group — max row included — used to vanish; the mx - flex*|mx|
+    form keeps the max always and is identical for mx >= 0."""
+    from pdfextract_spark.operators.ranking import flex_threshold
+
+    df = spark.createDataFrame(
+        [(1, "a", -10.0), (1, "b", -9.0), (2, "c", 10.0), (2, "d", 7.9)],
+        "grp int, rid string, score double",
+    )
+    got = {r["rid"] for r in flex_threshold(df, ["grp"], "score", 0.2).collect()}
+    # group 1 (negative max): threshold -9 - 0.2*9 = -10.8, so BOTH
+    # rows survive (the old mx*(1-flex) = -7.2 dropped the whole
+    # group); group 2 (positive): identical to the old form, 7.9 out
+    assert got == {"a", "b", "c"}
+
+
+def test_minhash_bands_rejects_bad_band_size(spark):
+    """num_hashes not a multiple of band_size silently wasted hashes,
+    and band_size > num_hashes emitted ZERO bands (no candidate pairs
+    at all) — both must raise like every other misconfiguration."""
+    import pytest
+
+    from pdfextract_spark.operators.dedup import minhash_bands
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple"):
+        minhash_bands(df, num_hashes=16, band_size=32)
+    with pytest.raises(ValueError, match="multiple"):
+        minhash_bands(df, num_hashes=16, band_size=5)
+
+
+def test_ideal_score_null_feature_degrades_not_nulls(spark):
+    """A NULL feature value must degrade like the NaN worst case
+    (diff 1.0) instead of propagating NULL through the sum and
+    erasing every other feature's weight from the row's score."""
+    from pdfextract_spark.operators.scoring import ideal_score
+
+    df = spark.createDataFrame(
+        [(1, 25.0, 10.0), (1, None, 10.0), (1, 20.0, 14.0)],
+        "grp int, f1 double, f2 double",
+    )
+    out = ideal_score(
+        df, ["grp"], {"f1": (25.0, 0.6), "f2": (10.0, 0.4)}, "score"
+    ).collect()
+    scores = [r["score"] for r in out]
+    assert all(s is not None for s in scores), scores
+
+
+def test_resolve_rejects_reserved_working_columns(spark):
+    """A refs frame already carrying _rid/_rtoks/_ryear would be
+    silently clobbered by the internal withColumns; must raise like
+    the appended-name clash does."""
+    import pytest
+
+    from pdfextract_spark.operators.resolve import resolve_references
+
+    refs = spark.createDataFrame(
+        [(1, "Smith, J. (1990) A Title.", 7)],
+        "ref_id long, content string, _rid long",
+    )
+    cat = spark.createDataFrame(
+        [("10.1/x", "A Title", "Smith", 1990)],
+        "doi string, title string, author string, year int",
+    )
+    with pytest.raises(ValueError, match="_rid"):
+        resolve_references(refs, cat, "content")
+
+
+def test_resolve_score_uses_distinct_catalog_tokens(spark):
+    """A catalog title repeating a token must not depress its own
+    score ceiling: array_intersect is set-valued, so the denominator
+    is the DISTINCT catalog vocabulary."""
+    from pdfextract_spark.operators.resolve import resolve_references
+
+    refs = spark.createDataFrame(
+        [(1, "Brown, K. (1991). Data analysis.")],
+        "ref_id long, content string",
+    )
+    cat = spark.createDataFrame(
+        # 'data' five times: the multiset denominator would cap the
+        # score at 3/7 = 0.43 < min_score, making the entry
+        # permanently unresolvable; distinct gives 3/3 = 1.0
+        [(
+            "10.1/d",
+            "Data, data, data, data, data: analysis",
+            "Brown",
+            1991,
+        )],
+        "doi string, title string, author string, year int",
+    )
+    out = resolve_references(refs, cat, "content", min_score=0.5).collect()
+    assert len(out) == 1 and out[0]["doi"] == "10.1/d", out
+
+
+def test_paragraph_dedup_handles_crlf_blank_lines(spark):
+    """CRLF documents separate paragraphs with \\r\\n\\r\\n, which the
+    old \\n{2,} split never matched — the whole doc read as ONE
+    paragraph and cross-corpus paragraph dedup silently no-opped."""
+    from pdfextract_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared boilerplate\r\n\r\nunique one"),
+            (2, "shared boilerplate\n\nunique two"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = paragraph_dedup(df, fence=False).collect()
+    shared = [r for r in rows if r["para"].strip() == "shared boilerplate"]
+    assert len(shared) == 2 and sum(r["dup_count"] for r in shared) == 4
+    assert sum(1 for r in shared if r["is_canonical"]) == 1
+
+
+def test_simhash_wide_excludes_null_text(spark):
+    """NULL-text docs have no token stream to fingerprint; the wide
+    table excludes them explicitly (documented) instead of emitting
+    NULL fp chunks that the Hamming join silently dropped."""
+    from pdfextract_spark.operators.dedup import simhash_table_wide
+
+    df = spark.createDataFrame(
+        [(1, "real text here"), (2, None)], "doc_id long, text string"
+    )
+    rows = simhash_table_wide(df).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert all(v is not None for v in rows[0].asDict().values())
