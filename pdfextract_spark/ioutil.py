@@ -15,7 +15,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["is_empty_start_exc", "read_parquet_or_none"]
+__all__ = ["delete_path", "is_empty_start_exc", "read_parquet_or_none"]
+
+
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursively delete ``path`` via the Hadoop FileSystem API (so
+    it works on any Spark-supported filesystem, not just local disk).
+    Returns True if something was deleted, False if the path did not
+    exist."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    return bool(fs.delete(hpath, True))
 
 # ONLY "nothing committed yet" reads are benign: a missing path
 # (PATH_NOT_FOUND), or an existing dir with no data files

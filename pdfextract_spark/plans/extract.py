@@ -299,6 +299,14 @@ def extract(
     from ..core.spatial import get_text_content
 
     selected = DEFAULT_ARTIFACTS if want is None else tuple(want)
+    unknown = [w for w in selected if w not in ARTIFACT_FIELDS]
+    if unknown:
+        raise ValueError(
+            f"unknown want artifact(s) {unknown}; valid names are "
+            f"{sorted(ARTIFACT_FIELDS)} — a misspelling (e.g. "
+            f"'titles' for 'title') would otherwise silently return "
+            f"rows with the artifact missing"
+        )
     computed = StructType(
         [
             f
@@ -355,7 +363,15 @@ def extract(
             {"title": "titles"}.get(k, k) for k in selected
         )
         for batch in batches:
-            pdf = batch.to_pydict()
+            # convert ONLY the four kernel inputs to Python objects:
+            # carry columns are copied verbatim from the Arrow batch
+            # below, so a full to_pydict would pay O(rows x width)
+            # object conversion for data the loop never reads
+            names = batch.schema.names
+            pdf = {
+                c: batch.column(names.index(c)).to_pylist()
+                for c in ("conv_id", "turn_idx", "role", "text")
+            }
             # column-wise accumulation: one Python list per output
             # field, converted once by pa.array — avoids building a
             # per-turn row dict plus a second all-rows pass per field
@@ -381,8 +397,20 @@ def extract(
                             "refs_matched": 0,
                         },
                     }
+                # a NULL turn_idx (permissive JSON reads keep
+                # malformed rows as all-NULL) must obey on_error: the
+                # int() coercion sat OUTSIDE the kernel try, so one
+                # poison row killed the job even under 'skip'
+                if turn_idx is None and on_error == "fail":
+                    raise RuntimeError(
+                        f"NULL turn_idx for conv_id={conv_id!r} "
+                        f"(malformed input row — permissive read?); "
+                        f"clean the input or pass on_error='skip'"
+                    )
                 cols["conv_id"].append(conv_id)
-                cols["turn_idx"].append(int(turn_idx))
+                cols["turn_idx"].append(
+                    None if turn_idx is None else int(turn_idx)
+                )
                 cols["role"].append(role)
                 cols["page_count"].append(res["page_count"])
                 cols["metrics"].append(res["metrics"])

@@ -31,11 +31,24 @@ LINEAGE_SUBDIR = "_lineage"
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Stable bucket from (conv_id, turn_idx) — with the hash inputs
+    pinned to (string, int) FIRST: xxhash64 of the same value under a
+    different type is a different hash (int 5 vs bigint 5 land in
+    different buckets, verified), and this function is applied both
+    to the INPUT for scheduling and to the extraction OUTPUT (whose
+    turn_idx is int32) for the partition write — an input arriving
+    with a bigint turn_idx would otherwise write rows into OTHER
+    batches' partitions, which later batches then overwrite (silent
+    data loss) while lineage undercounts."""
     return df.withColumn(
         "bucket",
-        F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(n_buckets)).cast(
-            "int"
-        ),
+        F.pmod(
+            F.xxhash64(
+                F.col("conv_id").cast("string"),
+                F.col("turn_idx").cast("int"),
+            ),
+            F.lit(n_buckets),
+        ).cast("int"),
     )
 
 
@@ -109,9 +122,19 @@ def run_extraction_job(
     try:
         src = with_bucket(transcripts, n_buckets)
 
-        done = (
-            completed_buckets(spark, out_dir, n_buckets) if resume else set()
-        )
+        if resume:
+            done = completed_buckets(spark, out_dir, n_buckets)
+        else:
+            # a full reprocess must start from EMPTY lineage: output
+            # partitions are overwritten below, but lineage appends
+            # per batch — without this truncation a resume=False
+            # rerun over an existing out_dir stacks a second
+            # generation of rows and every downstream metric sum
+            # double-counts
+            from .ioutil import delete_path
+
+            delete_path(spark, f"{out_dir}/{LINEAGE_SUBDIR}")
+            done = set()
         todo = [b for b in range(n_buckets) if b not in done]
 
         for i in range(0, len(todo), buckets_per_batch):
@@ -266,6 +289,16 @@ def write_table(
             else "parquet"
         )
     if storage == "iceberg":
+        # writeTo has no analogue for 'ignore'/'errorifexists' — map
+        # only the two supported modes and refuse the rest instead of
+        # silently appending to a table the caller asked to leave
+        # untouched (or to fail on)
+        if mode not in ("overwrite", "append"):
+            raise ValueError(
+                f"mode {mode!r} is not supported on the Iceberg "
+                f"branch (only 'overwrite'/'append'); the parquet "
+                f"branch honors {mode!r} — pass storage='parquet'"
+            )
         try:
             w = df.writeTo(target)
             if partition_by:

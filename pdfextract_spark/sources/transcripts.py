@@ -25,10 +25,9 @@ from ..core.names import NAME_ROWS
 _SCENARIOS = 9
 _NAMES = [n for n, amb in NAME_ROWS if not amb]
 
-_OUT_SCHEMA = (
-    "conv_id string, turn_idx int, role string, text string, "
-    "tool string, ts timestamp"
-)
+# the single schema authority lives in tables.py — a local copy here
+# would silently drift when the DDL changes
+from .tables import TRANSCRIPT_DDL as _OUT_SCHEMA
 
 
 def _decorate(doc_words: list[str], seq: int, scenario: int) -> str:

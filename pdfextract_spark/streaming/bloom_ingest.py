@@ -56,6 +56,26 @@ def _load_bits(spark, bloom_dir: str) -> DataFrame | None:
     return read_parquet_or_none(spark, bloom_dir)
 
 
+def _has_batch_dirs(spark, bloom_dir: str) -> bool:
+    """True when the store directory holds at least one
+    ``batch_id=N`` subdir — distinguishes a WIPED store (no dirs at
+    all: someone deleted bloom_dir or pointed the restart at a wrong
+    path) from a store whose committed batches all had zero
+    survivors (dirs exist, no readable rows — a legitimate state the
+    missing-store guard must not refuse)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(bloom_dir)
+    fs = hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    if not fs.exists(hpath):
+        return False
+    return any(
+        st.getPath().getName().startswith("batch_id=")
+        for st in fs.listStatus(hpath)
+    )
+
+
 def _check_params(spark, bloom_dir: str, n_bits: int, n_hashes: int) -> None:
     """Pin (n_bits, n_hashes) to the store.  Bit positions are only
     meaningful under the parameters that computed them: restarting the
@@ -141,6 +161,25 @@ def bloom_ingest_batch(
         .dropDuplicates(["_h"])
     )
     bits = _load_bits(spark, bloom_dir)
+    if bits is None and batch_id > 0 and not _has_batch_dirs(
+        spark, bloom_dir
+    ):
+        # the rewind guard's blind side: a MISSING store with an
+        # advanced checkpoint means bloom_dir was deleted (or the
+        # restart points at the wrong path) — probing nothing would
+        # silently re-admit every previously-seen text, so refuse,
+        # same pattern as the batch-id rewind above.  A store whose
+        # committed batches all had zero survivors keeps its
+        # batch_id=N dirs and passes this check.
+        raise ValueError(
+            f"bloom store at {bloom_dir} has no committed batch "
+            f"directories but this stream is processing batch "
+            f"{batch_id}: the store was deleted or the path is "
+            f"wrong — cross-batch dedup state is gone, and "
+            f"continuing would silently re-admit every "
+            f"previously-seen text.  Restore the store, or start "
+            f"over with fresh checkpoint/out/bloom paths."
+        )
     if bits is not None:
         bits = bits.persist()
     try:

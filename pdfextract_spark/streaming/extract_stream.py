@@ -22,7 +22,16 @@ from ..plans.extract import extract
 from ..settings import DEFAULT, Settings
 from ..sources.tables import TRANSCRIPT_DDL  # single schema authority
 
-__all__ = ["TRANSCRIPT_DDL"]  # re-exported for existing importers
+# TRANSCRIPT_DDL re-exported for existing importers — listed ALONGSIDE
+# the module's own functions (an __all__ of just the re-export would
+# hide them from star imports)
+__all__ = [
+    "TRANSCRIPT_DDL",
+    "extract_stream",
+    "start_file_stream",
+    "streaming_conv_metrics",
+    "streaming_dedup_exact",
+]
 
 
 def extract_stream(

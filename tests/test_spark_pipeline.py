@@ -571,3 +571,108 @@ def test_completed_buckets_error_classification(spark, tmp_path):
 
     with _pytest.raises(AnalysisException, match="UNRESOLVED_COLUMN"):
         completed_buckets(_Spark(), str(tmp_path / "whatever"))
+
+
+def test_extract_null_turn_idx_obeys_on_error(spark):
+    """A permissive JSON read keeps malformed rows as all-NULL; the
+    int(turn_idx) coercion used to sit outside the poison-tolerance
+    try, so one NULL turn_idx killed the job even under
+    on_error='skip'.  Now: 'skip' keeps the row (NULL turn_idx),
+    'fail' raises with attribution."""
+    import pytest
+
+    from pdfextract_spark.plans.extract import extract
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "fine text"), ("c1", None, "user", "poison")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    rows = extract(df, on_error="skip", want=()).collect()
+    assert len(rows) == 2
+    assert sorted(
+        (r["turn_idx"] is None) for r in rows
+    ) == [False, True]
+    with pytest.raises(Exception, match="NULL turn_idx"):
+        extract(df, on_error="fail", want=()).collect()
+
+
+def test_extract_rejects_unknown_want(spark):
+    """A misspelled artifact name ('titles', 'refs') silently
+    produced rows with the artifact missing; it must raise."""
+    import pytest
+
+    from pdfextract_spark.plans.extract import extract
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    with pytest.raises(ValueError, match="titles"):
+        extract(df, want=("titles",))
+
+
+def test_with_bucket_type_stable(spark):
+    """The bucket hash is applied to the INPUT for scheduling and to
+    the extraction OUTPUT (int32 turn_idx) for the partition write;
+    xxhash64 of the same value under a different integer width is a
+    DIFFERENT hash, so a bigint input used to land rows in other
+    batches' partitions (overwritten later — silent data loss).  The
+    hash inputs are now pinned to (string, int) first."""
+    from pdfextract_spark.sinks import with_bucket
+
+    as_int = spark.createDataFrame(
+        [("c", 5), ("d", 123456)], "conv_id string, turn_idx int"
+    )
+    as_big = spark.createDataFrame(
+        [("c", 5), ("d", 123456)], "conv_id string, turn_idx bigint"
+    )
+    bi = {(r["conv_id"], r["turn_idx"]): r["bucket"]
+          for r in with_bucket(as_int, 64).collect()}
+    bb = {(r["conv_id"], r["turn_idx"]): r["bucket"]
+          for r in with_bucket(as_big, 64).collect()}
+    assert bi == bb, (bi, bb)
+
+
+def test_resume_false_truncates_lineage(spark, tmp_path):
+    """resume=False reprocesses everything: output partitions are
+    overwritten, but lineage used to APPEND a second generation of
+    rows — every downstream metric sum then double-counted."""
+    from pdfextract_spark.sinks import run_extraction_job
+    from pdfextract_spark.sources import synth_transcripts
+
+    out = str(tmp_path / "out")
+    t = synth_transcripts(spark, "/root/testdata/sf0.001", turns_per_doc=1)
+    l1 = run_extraction_job(
+        spark, t, out, n_buckets=4, buckets_per_batch=4, resume=False
+    )
+    assert l1.count() == 4
+    l2 = run_extraction_job(
+        spark, t, out, n_buckets=4, buckets_per_batch=4, resume=False
+    )
+    assert l2.count() == 4  # fresh generation, not 8 stacked rows
+
+
+def test_write_table_iceberg_rejects_unsupported_modes(spark, tmp_path):
+    """writeTo has no 'ignore'/'errorifexists' analogue; the Iceberg
+    branch used to silently APPEND for those modes."""
+    import pytest
+
+    from pdfextract_spark.sinks import write_table
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="ignore"):
+        write_table(df, "cat.db.t", mode="ignore", storage="iceberg")
+
+
+def test_streaming_star_surface_complete():
+    """__all__ must list the module's own functions alongside the
+    TRANSCRIPT_DDL re-export (a re-export-only __all__ hid them from
+    star imports)."""
+    import importlib
+
+    m = importlib.import_module(
+        "pdfextract_spark.streaming.extract_stream"
+    )
+    for name in ("extract_stream", "start_file_stream",
+                 "streaming_conv_metrics", "streaming_dedup_exact"):
+        assert name in m.__all__ and hasattr(m, name)

@@ -463,3 +463,45 @@ def test_bloom_ingest_refuses_checkpoint_rewind(spark, tmp_path):
         bloom_ingest_batch(b0, 0, out_dir, bloom_dir, **kw)
     # and the committed batch-0 output was not clobbered
     assert spark.read.parquet(f"{out_dir}/batch_id=0").count() == 1
+
+
+def test_bloom_ingest_refuses_missing_store_with_advanced_checkpoint(
+    spark, tmp_path
+):
+    """The rewind guard's other side: a WIPED bloom_dir (deleted, or
+    the restart points at a wrong path) with an advanced checkpoint
+    would probe nothing and silently re-admit every previously-seen
+    text — refuse.  A store whose committed batches simply had zero
+    survivors keeps its batch_id dirs and must still be accepted."""
+    import datetime
+
+    import pytest
+
+    from pdfextract_spark.streaming import bloom_ingest_batch
+
+    out_dir = str(tmp_path / "out")
+    bloom_dir = str(tmp_path / "bloom")
+    ts = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    kw = dict(n_bits=1 << 12, n_hashes=4)
+    b0 = spark.createDataFrame(
+        [("c0", 0, "user", "first doc", None, ts)], SCHEMA
+    )
+    bloom_ingest_batch(b0, 0, out_dir, bloom_dir, **kw)
+
+    # wipe the store, keep the (conceptual) checkpoint at batch 1
+    import shutil
+
+    shutil.rmtree(bloom_dir)
+    b1 = spark.createDataFrame(
+        [("c1", 1, "user", "second doc", None, ts)], SCHEMA
+    )
+    with pytest.raises(ValueError, match="no committed batch"):
+        bloom_ingest_batch(b1, 1, out_dir, bloom_dir, **kw)
+
+    # legitimate empty store: batch dirs exist but hold no rows
+    # (every prior batch had zero survivors) — must be accepted
+    import os
+
+    os.makedirs(f"{bloom_dir}/batch_id=0", exist_ok=True)
+    bloom_ingest_batch(b1, 1, out_dir, bloom_dir, **kw)
+    assert spark.read.parquet(f"{out_dir}/batch_id=1").count() == 1
